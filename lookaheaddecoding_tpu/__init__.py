@@ -1,0 +1,31 @@
+"""lookaheaddecoding_tpu — a TPU-native lookahead decoding inference engine.
+
+Brand-new JAX/XLA/Pallas implementation of exact, draft-model-free parallel
+decoding with the capabilities of hao-ai-lab/LookaheadDecoding (reference
+mounted read-only at /root/reference; see SURVEY.md for the structural map).
+"""
+
+from .config import EngineConfig, LookaheadConfig, SamplingConfig
+from .core.engine import GenerationResult, LookaheadEngine
+from .core.layout import Layout, build_layout
+from .models.llama import LlamaConfig, init_params
+from .models.convert import convert_hf_model, convert_hf_state_dict, load_pretrained
+from .utils.logging import DecodeLog
+
+__all__ = [
+    "EngineConfig",
+    "LookaheadConfig",
+    "SamplingConfig",
+    "LookaheadEngine",
+    "GenerationResult",
+    "Layout",
+    "build_layout",
+    "LlamaConfig",
+    "init_params",
+    "convert_hf_model",
+    "convert_hf_state_dict",
+    "load_pretrained",
+    "DecodeLog",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,228 @@
+"""LookaheadEngine: the user-facing inference engine.
+
+Replaces the reference's monkey-patch surface (``lade.augment_all()`` +
+``config_lade(...)`` + HF ``model.generate`` proxying, reference:
+lade/utils.py:13-72, lade/decoding.py:15-34) with a self-contained engine:
+
+    cfg, params, tok = load_pretrained("TinyLlama/TinyLlama-1.1B-Chat-v1.0")
+    eng = LookaheadEngine(cfg, params, LookaheadConfig(level=5, window_size=7,
+                                                       guess_set_size=7))
+    out = eng.generate(tok(prompt).input_ids, max_new_tokens=256)
+
+``generate`` runs prefill (chunked jitted calls) plus ONE jitted
+``lax.while_loop`` for the whole decode; the only host<->device traffic per
+call is the prompt upload and the final token download. A ``stream=True``
+mode steps one jitted iteration at a time for chat streaming (the analog of
+the reference's CHAT=1 incremental printing, decoding.py:1180-1194).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Iterator, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import EngineConfig, LookaheadConfig
+from ..models import llama
+from .layout import Layout, build_layout
+from .pool import fill_pool_with_prompt, pool_init
+from .state import DecodeState
+from .step import build_step_fns
+
+
+@dataclasses.dataclass
+class GenerationResult:
+    """Output of one generate call plus the reference's acceleration
+    accounting (generated / steps / compression ratio, decoding.py:1231-1235)."""
+
+    tokens: np.ndarray          # full sequence: prompt + generated
+    prompt_len: int
+    steps: int
+    wall_time_s: float = 0.0
+
+    @property
+    def new_tokens(self) -> np.ndarray:
+        return self.tokens[self.prompt_len:]
+
+    @property
+    def num_generated(self) -> int:
+        return len(self.tokens) - self.prompt_len
+
+    @property
+    def compression_ratio(self) -> float:
+        return self.num_generated / max(self.steps, 1)
+
+    @property
+    def tokens_per_sec(self) -> float:
+        return self.num_generated / self.wall_time_s if self.wall_time_s else 0.0
+
+
+class LookaheadEngine:
+    def __init__(
+        self,
+        model_cfg: llama.LlamaConfig,
+        params,
+        lookahead: Optional[LookaheadConfig] = None,
+        engine: Optional[EngineConfig] = None,
+        log=None,
+    ):
+        self.mcfg = model_cfg
+        self.params = params
+        self.lcfg = lookahead or LookaheadConfig()
+        self.ecfg = engine or EngineConfig()
+        self.layout: Layout = build_layout(self.lcfg)
+        self.log = log
+        if self.ecfg.max_seq_len < self.layout.seq_len + 8:
+            raise ValueError("max_seq_len too small for the composite step")
+
+        fns = build_step_fns(self.mcfg, self.lcfg, self.ecfg, self.layout)
+        self._init_state = jax.jit(fns.init_state, donate_argnums=(0, 1, 3))
+        self._prefill = jax.jit(fns.prefill_chunk, donate_argnums=(1,))
+        self._loop = jax.jit(fns.decode_loop, donate_argnums=(1,))
+        self._step = jax.jit(fns.decode_step, donate_argnums=(1,))
+        self._baseline = jax.jit(fns.baseline_loop, donate_argnums=(1,))
+        self._fill_pool = jax.jit(
+            fill_pool_with_prompt, static_argnames=("level",))
+        self._sample_loops = {}   # top_k -> jitted sampling loop
+
+    # ------------------------------------------------------------------
+    def _prepare(self, prompt_ids: Sequence[int], seed: int) -> DecodeState:
+        prompt = np.asarray(prompt_ids, np.int32).reshape(-1)
+        P = len(prompt)
+        M = self.ecfg.max_seq_len
+        S = self.layout.seq_len
+        if P < 1:
+            raise ValueError("empty prompt")
+        if P - 1 + S > M:
+            raise ValueError(
+                f"prompt ({P}) + composite step ({S}) exceeds max_seq_len ({M})")
+
+        out_buf = np.zeros((M + self.layout.guess_size,), np.int32)
+        out_buf[:P] = prompt
+        k_cache, v_cache = llama.make_kv_cache(self.mcfg, M)
+        pool = pool_init(
+            self.mcfg.vocab_size, self.layout.guess_set_size,
+            self.layout.guess_size)
+        state = self._init_state(
+            k_cache, v_cache, pool, jnp.asarray(out_buf),
+            jnp.int32(P), jax.random.PRNGKey(seed),
+        )
+        if self.lcfg.pool_from_prompt:
+            state = state._replace(pool=self._fill_pool(
+                state.pool, state.out_buf, state.init_len,
+                level=self.lcfg.level))
+
+        # Chunked prefill of prompt[:-1]; the last prompt token rides in the
+        # first composite step's lst slot.
+        C = self.ecfg.prefill_chunk
+        n_chunks = -(-(P - 1) // C) if P > 1 else 0
+        padded = np.zeros((n_chunks * C,), np.int32)
+        padded[: P - 1] = prompt[: P - 1]
+        for c in range(n_chunks):
+            state = self._prefill(
+                self.params, state,
+                jnp.asarray(padded[c * C:(c + 1) * C]), jnp.int32(c * C))
+        return state
+
+    def _finalize(
+        self, state: DecodeState, max_new: int, t0: float
+    ) -> GenerationResult:
+        n_confirmed = int(state.n_confirmed)
+        init_len = int(state.init_len)
+        total = min(n_confirmed, init_len + max_new)  # trim overshoot
+        tokens = np.asarray(state.out_buf[:total])
+        res = GenerationResult(
+            tokens=tokens,
+            prompt_len=init_len,
+            steps=int(state.step_idx),
+            wall_time_s=time.perf_counter() - t0,
+        )
+        if self.log is not None:
+            self.log.append(res)
+        return res
+
+    # ------------------------------------------------------------------
+    def generate(
+        self,
+        prompt_ids: Sequence[int],
+        max_new_tokens: int,
+        eos_token_id: Optional[int] = None,
+        seed: int = 0,
+    ) -> GenerationResult:
+        """Greedy lookahead generation (reference
+        jacobi_greedy_search_multilevel, decoding.py:697-1259)."""
+        t0 = time.perf_counter()
+        state = self._prepare(prompt_ids, seed)
+        eos = jnp.int32(eos_token_id if eos_token_id is not None else -1)
+        state = self._loop(self.params, state, jnp.int32(max_new_tokens), eos)
+        state = jax.block_until_ready(state)
+        return self._finalize(state, max_new_tokens, t0)
+
+    def generate_sample(
+        self,
+        prompt_ids: Sequence[int],
+        max_new_tokens: int,
+        sampling: "SamplingConfig" = None,
+        eos_token_id: Optional[int] = None,
+        seed: int = 0,
+    ) -> GenerationResult:
+        """Sampling lookahead generation with SpecInfer-style verification
+        (reference jacobi_sample_multilevel, decoding.py:137-692). Preserves
+        the target model's temperature/top-k/top-p distribution exactly."""
+        from ..config import SamplingConfig
+        sampling = sampling or SamplingConfig()
+        t0 = time.perf_counter()
+        loop = self._sample_loops.get(sampling.top_k)
+        if loop is None:
+            fns = build_step_fns(self.mcfg, self.lcfg, self.ecfg, self.layout,
+                                 top_k=sampling.top_k)
+            loop = jax.jit(fns.sample_loop, donate_argnums=(1,))
+            self._sample_loops[sampling.top_k] = loop
+        state = self._prepare(prompt_ids, seed)
+        eos = jnp.int32(eos_token_id if eos_token_id is not None else -1)
+        state = loop(
+            self.params, state, jnp.int32(max_new_tokens), eos,
+            jnp.float32(sampling.temperature), jnp.float32(sampling.top_p))
+        state = jax.block_until_ready(state)
+        return self._finalize(state, max_new_tokens, t0)
+
+    def generate_baseline(
+        self,
+        prompt_ids: Sequence[int],
+        max_new_tokens: int,
+        eos_token_id: Optional[int] = None,
+        seed: int = 0,
+    ) -> GenerationResult:
+        """Vanilla autoregressive greedy decoding on the same weights/KV
+        machinery — the comparison target for exactness and speedup."""
+        t0 = time.perf_counter()
+        state = self._prepare(prompt_ids, seed)
+        eos = jnp.int32(eos_token_id if eos_token_id is not None else -1)
+        state = self._baseline(self.params, state, jnp.int32(max_new_tokens), eos)
+        state = jax.block_until_ready(state)
+        return self._finalize(state, max_new_tokens, t0)
+
+    def generate_stream(
+        self,
+        prompt_ids: Sequence[int],
+        max_new_tokens: int,
+        eos_token_id: Optional[int] = None,
+        seed: int = 0,
+    ) -> Iterator[np.ndarray]:
+        """Streaming mode: yields the newly accepted token ids after every
+        decode step (chat-mode analog). Final yield completes the sequence."""
+        state = self._prepare(prompt_ids, seed)
+        eos = jnp.int32(eos_token_id if eos_token_id is not None else -1)
+        max_new = jnp.int32(max_new_tokens)
+        init_len = int(state.init_len)
+        served = init_len
+        while not bool(state.finished):
+            state = self._step(self.params, state, max_new, eos)
+            n = min(int(state.n_confirmed), init_len + max_new_tokens)
+            if n > served:
+                yield np.asarray(state.out_buf[served:n])
+                served = n

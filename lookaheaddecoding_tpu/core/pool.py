@@ -1,0 +1,101 @@
+"""Device-resident n-gram pool with LRU semantics.
+
+The reference keeps the pool as a host Python dict
+``token_map: {token_id -> list[(LEVEL-1)-tuple]}`` with move-to-back-on-hit /
+evict-front LRU capped at GUESS_SET_SIZE per key (reference:
+lade/decoding.py:37-78 ``update_token_map``, :80-101
+``append_new_generated_pool``, :104-127 ``fill_pool_with_prompt``), forcing a
+host round-trip every step. Here the pool lives in HBM as flat tables and
+every operation is traced into the jitted step:
+
+  values [V+1, G, GS] int32 : candidate n-grams per key token
+  age    [V+1, G]     int32 : LRU stamps; 0 = empty slot
+  clock  scalar       int32 : monotonic logical time
+
+Row V is a write-only trash row: updates that must be skipped (invalid
+lanes) redirect their key there, which keeps the update loop branch-free.
+
+LRU equivalences with the reference list semantics:
+  - "in list -> remove + append"      == refresh the matching slot's age
+  - "len < cap -> append"             == fill the min-age slot (empties are 0)
+  - "full -> drop front + append"     == overwrite the min-age (oldest) slot
+Slot order is not materialized; the reference iterates candidates in list
+order, but candidate order provably cannot change the accepted tokens (ties
+in match length accept identical token sequences), so we keep slots unsorted.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class PoolState(NamedTuple):
+    values: jax.Array   # [V+1, G, GS] int32
+    age: jax.Array      # [V+1, G] int32
+    clock: jax.Array    # scalar int32
+
+
+def pool_init(vocab_size: int, guess_set_size: int, guess_size: int) -> PoolState:
+    return PoolState(
+        values=jnp.zeros((vocab_size + 1, guess_set_size, guess_size), jnp.int32),
+        age=jnp.zeros((vocab_size + 1, guess_set_size), jnp.int32),
+        clock=jnp.int32(1),
+    )
+
+
+def pool_update(
+    pool: PoolState,
+    keys: jax.Array,     # [K] int32 key tokens
+    tups: jax.Array,     # [K, GS] int32 n-grams
+    valid: jax.Array,    # [K] bool; invalid lanes are no-ops
+) -> PoolState:
+    """Insert K (key, n-gram) pairs sequentially (order defines LRU time,
+    matching the reference's per-n-gram loop order in update_token_map)."""
+    if pool.age.shape[1] == 0:
+        return pool
+    trash_row = pool.values.shape[0] - 1
+    keys = jnp.where(valid, keys, trash_row)
+
+    def body(i, p: PoolState):
+        key = keys[i]
+        tup = tups[i]
+        row_vals = p.values[key]                        # [G, GS]
+        row_age = p.age[key]                            # [G]
+        match = jnp.all(row_vals == tup[None, :], axis=-1) & (row_age > 0)
+        has_match = jnp.any(match)
+        slot = jnp.where(
+            has_match, jnp.argmax(match), jnp.argmin(row_age)
+        )
+        # On match row_vals[slot] == tup already, so an unconditional write
+        # is correct for both the refresh and insert/evict cases.
+        values = p.values.at[key, slot].set(tup)
+        age = p.age.at[key, slot].set(p.clock)
+        return PoolState(values, age, p.clock + 1)
+
+    return jax.lax.fori_loop(0, keys.shape[0], body, pool)
+
+
+def pool_lookup(pool: PoolState, key: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Candidate n-grams for ``key``: ([G, GS] tokens, [G] validity)."""
+    return pool.values[key], pool.age[key] > 0
+
+
+def fill_pool_with_prompt(
+    pool: PoolState, prompt: jax.Array, prompt_len: jax.Array, level: int
+) -> PoolState:
+    """Seed the pool with every n-gram of the prompt (reference
+    fill_pool_with_prompt, decoding.py:104-127). ``prompt`` is a padded [P]
+    int32 device buffer whose first ``prompt_len`` entries are real tokens."""
+    gs = level - 1
+    p = prompt.shape[0]
+    k = p - gs  # static upper bound on (key, n-gram) pairs
+    if k <= 0:
+        return pool
+    idx = jnp.arange(k)
+    keys = prompt[:k]
+    tups = prompt[idx[:, None] + 1 + jnp.arange(gs)[None, :]]
+    valid = idx + gs < prompt_len
+    return pool_update(pool, keys, tups, valid)

@@ -1,0 +1,358 @@
+"""The jitted lookahead decode step and prefill.
+
+This is the TPU-native re-design of the reference's hot loop
+(reference: lade/decoding.py:923-1219 greedy, :380-650 sampling; composite
+assembly lade/models/modeling_llama.py:1471-1511). The reference runs the
+loop on the host with ``.item()``/``.tolist()`` round-trips at every stage;
+here ONE static-shape jitted function performs: guess gather -> composite
+assembly -> model forward -> verification -> KV commit -> window slide ->
+pool harvest -> output append, and the generation loop itself is a
+``lax.while_loop`` over that step.
+
+Exactness: the speculative window/pool content only ever *proposes* tokens;
+acceptance requires exact agreement with the model's own argmax (greedy) or
+passes SpecInfer rejection sampling, so outputs are token-exact vs. the
+autoregressive baseline regardless of window seeding. This lets us run the
+steady-state shape from step 0 (no shape-changing warm-up forwards — see
+core/layout.py).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import EngineConfig, LookaheadConfig
+from ..models import llama
+from ..ops.sampling import rejection_sample_verify, warp_logits
+from .layout import Layout
+from .pool import PoolState, pool_lookup, pool_update
+from .state import DecodeState
+
+NEG_INF = float("-inf")
+
+
+class StepFns(NamedTuple):
+    init_state: Callable
+    prefill_chunk: Callable
+    decode_loop: Callable     # full greedy generation under lax.while_loop
+    decode_step: Callable     # single greedy step (streaming / chat mode)
+    sample_loop: Callable     # full sampling generation
+    sample_step: Callable
+    baseline_loop: Callable   # autoregressive greedy (parity tests, benches)
+
+
+def build_step_fns(
+    mcfg: llama.LlamaConfig,
+    lcfg: LookaheadConfig,
+    ecfg: EngineConfig,
+    layout: Layout,
+    top_k: int = 0,
+) -> StepFns:
+    M = ecfg.max_seq_len
+    S = layout.seq_len
+    W = layout.window
+    N = layout.level
+    G = layout.guess_set_size
+    GS = layout.guess_size
+    n_window = layout.n_window
+    C = ecfg.prefill_chunk
+
+    rope_cos, rope_sin = llama.rope_tables(mcfg, M)
+    rel_pos = jnp.asarray(layout.rel_pos)
+    spec_add = jnp.asarray(
+        np.where(layout.spec_mask, 0.0, NEG_INF).astype(np.float32))
+    col_ids = jnp.arange(M, dtype=jnp.int32)
+
+    # Rows of the composite whose logits are consumed: row 0 (next token),
+    # the newest window level and the verification branch (reference
+    # out/inp/guess logits slicing, modeling_llama.py:1578-1606).
+    logits_rows = jnp.asarray(np.concatenate([
+        np.array([0], np.int64),
+        np.arange(layout.inp_start, layout.inp_stop),
+        np.arange(layout.guess_start, layout.seq_len),
+    ]))
+    OUT_ROW = 0
+    INP_ROWS = slice(1, 1 + W)
+    GUESS_ROWS = slice(1 + W, 1 + W + G * GS)
+
+    # ------------------------------------------------------------------
+    # Init
+    # ------------------------------------------------------------------
+    def init_state(k_cache, v_cache, pool: PoolState, out_buf, prompt_len, rng):
+        """Window seeded with random prompt copies (reference ``copy_from``
+        init, decoding.py:887-902) at steady-state level sizes."""
+        rng, sub = jax.random.split(rng)
+        idx = jax.random.randint(sub, (n_window,), 0, prompt_len)
+        window = out_buf[idx]
+        return DecodeState(
+            k_cache=k_cache,
+            v_cache=v_cache,
+            kv_len=jnp.int32(0),
+            window=window.astype(jnp.int32),
+            pool=pool,
+            out_buf=out_buf,
+            n_confirmed=prompt_len.astype(jnp.int32),
+            init_len=prompt_len.astype(jnp.int32),
+            step_idx=jnp.int32(0),
+            finished=jnp.zeros((), bool),
+            rng=rng,
+        )
+
+    # ------------------------------------------------------------------
+    # Prefill
+    # ------------------------------------------------------------------
+    def prefill_chunk(params, state: DecodeState, tokens, start):
+        """Process prompt tokens [start, start+C) into the KV cache. The
+        caller feeds prompt[:-1]; the final prompt token is the first
+        composite step's ``lst`` slot (matching the reference where prefill
+        and the first lookahead forward are one call, decoding.py:937-939)."""
+        positions = start + jnp.arange(C, dtype=jnp.int32)
+        mask = jnp.where(col_ids[None, :] <= positions[:, None], 0.0, NEG_INF)
+        _, k_cache, v_cache = llama.forward(
+            params, mcfg, tokens, positions, state.k_cache, state.v_cache,
+            start, mask, rope_cos, rope_sin, logits_rows=jnp.arange(0),
+        )
+        return state._replace(
+            k_cache=k_cache, v_cache=v_cache,
+            kv_len=jnp.minimum(start + C, state.init_len - 1),
+        )
+
+    # ------------------------------------------------------------------
+    # The composite lookahead step (shared by greedy & sampling modes)
+    # ------------------------------------------------------------------
+    def _make_decode_step(mode: str):
+        assert mode in ("greedy", "sample")
+
+        def decode_step(params, state: DecodeState, max_new, eos_id,
+                        temperature=1.0, top_p=1.0):
+            kv_len = state.kv_len
+            lst = state.out_buf[state.n_confirmed - 1]
+
+            guesses, guess_valid = pool_lookup(state.pool, lst)  # [G,GS],[G]
+            tokens = jnp.concatenate(
+                [lst[None], state.window, guesses.reshape(-1)]
+            ).astype(jnp.int32)
+            positions = kv_len + rel_pos
+
+            # Mask over absolute cache slots: committed region fully
+            # visible, speculative block gets the static within-composite
+            # mask, everything else -inf. (Replaces the reference's
+            # per-step host-built dense mask, modeling_llama.py:115-207.)
+            base = jnp.where(
+                col_ids[None, :] < kv_len, 0.0, NEG_INF
+            ) * jnp.ones((S, 1), jnp.float32)
+            mask = jax.lax.dynamic_update_slice(base, spec_add, (0, kv_len))
+
+            logits, k_cache, v_cache = llama.forward(
+                params, mcfg, tokens, positions, state.k_cache,
+                state.v_cache, kv_len, mask, rope_cos, rope_sin,
+                logits_rows=logits_rows,
+            )
+
+            new_results = jnp.argmax(logits[INP_ROWS], axis=-1).astype(jnp.int32)
+            rng = state.rng
+
+            if mode == "greedy":
+                # ---- verification: greedy longest-prefix acceptance
+                # (reference decoding.py:1071-1084)
+                next_token = jnp.argmax(logits[OUT_ROW]).astype(jnp.int32)
+                if G > 0:
+                    guess_results = (
+                        jnp.argmax(logits[GUESS_ROWS], axis=-1)
+                        .astype(jnp.int32).reshape(G, GS))
+                    correct = jnp.concatenate(
+                        [jnp.full((G, 1), next_token, jnp.int32),
+                         guess_results[:, : GS - 1]], axis=1)     # [G, GS]
+                    eq = (guesses == correct)
+                    m0 = jnp.sum(
+                        jnp.cumprod(eq.astype(jnp.int32), axis=1), axis=1)
+                    # The reference's scan index stops at GS-1 even on a
+                    # full match (decoding.py:1077-1080), capping
+                    # acceptance at GS tokens/step.
+                    m = jnp.where(guess_valid, jnp.minimum(m0, GS - 1), -1)
+                    max_hit = jnp.maximum(jnp.max(m), 0)
+                    winner = jnp.argmax(m).astype(jnp.int32)
+                    hits = jnp.concatenate(
+                        [next_token[None], guess_results[winner, : GS - 1]])
+                else:
+                    max_hit = jnp.int32(0)
+                    winner = jnp.int32(0)
+                    hits = jnp.full((GS,), next_token, jnp.int32)
+            else:
+                # ---- verification: SpecInfer rejection sampling
+                # (reference decoding.py:484-545)
+                rng, k_verify = jax.random.split(rng)
+                probs_next = jax.nn.softmax(warp_logits(
+                    logits[OUT_ROW], temperature, top_k, top_p))
+                if G > 0:
+                    guess_probs = jax.nn.softmax(warp_logits(
+                        logits[GUESS_ROWS], temperature, top_k, top_p
+                    ), axis=-1).reshape(G, GS, -1)
+                    res = rejection_sample_verify(
+                        probs_next, guess_probs, guesses, guess_valid,
+                        k_verify)
+                    hits, max_hit, winner = res.hits, res.max_hit, res.winner
+                else:
+                    tok = jax.random.categorical(
+                        k_verify, jnp.log(jnp.maximum(probs_next, 1e-38))
+                    ).astype(jnp.int32)
+                    hits = jnp.full((GS,), tok, jnp.int32)
+                    max_hit = jnp.int32(0)
+                    winner = jnp.int32(0)
+
+            # ---- EOS truncation (reference decoding.py:1167-1173)
+            hit_pos = jnp.arange(GS, dtype=jnp.int32)
+            is_eos = (hits == eos_id) & (hit_pos <= max_hit)
+            has_eos = jnp.any(is_eos)
+            max_hit = jnp.where(
+                has_eos, jnp.argmax(is_eos).astype(jnp.int32), max_hit)
+
+            # ---- KV commit (reference decoding.py:1145-1163): the winning
+            # n-gram's K/V move from the verification region to canonical
+            # slots right after ``lst``'s slot. Fixed-size copy; slots
+            # beyond max_hit are rewritten before ever becoming visible.
+            if G > 0:
+                src = kv_len + layout.guess_start + winner * GS
+                L = mcfg.num_hidden_layers
+                Hkv, D = mcfg.num_key_value_heads, mcfg.head_dim
+
+                def commit(cache):
+                    blk = jax.lax.dynamic_slice(
+                        cache, (0, src, 0, 0), (L, GS, Hkv, D))
+                    return jax.lax.dynamic_update_slice(
+                        cache, blk, (0, kv_len + 1, 0, 0))
+
+                k_cache = commit(k_cache)
+                v_cache = commit(v_cache)
+
+            # ---- output append (fixed-size write; tail overwritten later)
+            out_buf = jax.lax.dynamic_update_slice(
+                state.out_buf, hits, (state.n_confirmed,))
+            n_confirmed = state.n_confirmed + 1 + max_hit
+            new_kv_len = kv_len + 1 + max_hit
+
+            # ---- pool harvest (reference update_token_map,
+            # decoding.py:37-78): key ``lst`` takes window column 0; key
+            # L0[i-1] takes column i of the trajectory.
+            harvest_keys = jnp.concatenate([lst[None], state.window[: W - 1]])
+            traj = state.window[W - 1:].reshape(N - 2, W)     # levels 1..N-2
+            harvest_tups = jnp.concatenate(
+                [traj.T, new_results[:, None]], axis=1)
+            warmed_up = state.step_idx >= N - 2
+            harvest_valid = jnp.full((W,), True) & warmed_up
+
+            if lcfg.pool_from_prompt:
+                # n-grams ending at each newly accepted token (reference
+                # append_new_generated_pool, decoding.py:80-101, :1177).
+                ends = state.n_confirmed + jnp.arange(GS, dtype=jnp.int32)
+                starts = ends - GS
+                gen_keys = out_buf[starts]
+                gen_tups = out_buf[starts[:, None] + 1 + jnp.arange(GS)[None, :]]
+                gen_valid = (jnp.arange(GS) <= max_hit) & (starts >= 0)
+                harvest_keys = jnp.concatenate([harvest_keys, gen_keys])
+                harvest_tups = jnp.concatenate([harvest_tups, gen_tups])
+                harvest_valid = jnp.concatenate([harvest_valid, gen_valid])
+
+            pool = pool_update(
+                state.pool, harvest_keys, harvest_tups, harvest_valid)
+
+            # ---- window slide, ALWAYS_FWD_ONE semantics
+            # (decoding.py:1119-1124): L0 <- L1[1:], Lk <- Lk+1, newest <-
+            # new_results. On the flat layout: one static slice + concat.
+            if mode == "sample":
+                # Sampling loop filters EOS out of the newest level to avoid
+                # numerical issues (reference filter_window,
+                # decoding.py:131-135, applied :578-580); replacement is a
+                # random copy from the confirmed tokens (``copy_from``).
+                rng, k_filt = jax.random.split(rng)
+                ridx = jax.random.randint(k_filt, (W,), 0, n_confirmed)
+                new_results = jnp.where(
+                    new_results == eos_id, out_buf[ridx], new_results)
+            window = jnp.concatenate([state.window[W:], new_results])
+
+            finished = (
+                state.finished
+                | has_eos
+                | (n_confirmed - state.init_len >= max_new)
+                | (new_kv_len + S > M)      # cache capacity safety stop
+            )
+
+            return DecodeState(
+                k_cache=k_cache,
+                v_cache=v_cache,
+                kv_len=new_kv_len,
+                window=window,
+                pool=pool,
+                out_buf=out_buf,
+                n_confirmed=n_confirmed,
+                init_len=state.init_len,
+                step_idx=state.step_idx + 1,
+                finished=finished,
+                rng=rng,
+            )
+
+        return decode_step
+
+    decode_step = _make_decode_step("greedy")
+    sample_step = _make_decode_step("sample")
+
+    def _loop(step):
+        def loop(params, state: DecodeState, max_new, eos_id,
+                 temperature=1.0, top_p=1.0):
+            def cond(s):
+                return ~s.finished
+
+            def body(s):
+                return step(params, s, max_new, eos_id, temperature, top_p)
+
+            return jax.lax.while_loop(cond, body, state)
+        return loop
+
+    # ------------------------------------------------------------------
+    # Autoregressive baseline (exactness tests and speedup benches): the
+    # vanilla greedy loop the reference compares against (minimal.py
+    # USE_LADE=0 path).
+    # ------------------------------------------------------------------
+    def baseline_loop(params, state: DecodeState, max_new, eos_id):
+        def cond(s):
+            return ~s.finished
+
+        def body(s: DecodeState):
+            kv_len = s.kv_len
+            lst = s.out_buf[s.n_confirmed - 1]
+            mask = jnp.where(col_ids[None, :] <= kv_len, 0.0, NEG_INF)
+            logits, k_cache, v_cache = llama.forward(
+                params, mcfg, lst[None], kv_len[None] + 0, s.k_cache,
+                s.v_cache, kv_len, mask, rope_cos, rope_sin,
+            )
+            nxt = jnp.argmax(logits[0]).astype(jnp.int32)
+            out_buf = jax.lax.dynamic_update_slice(
+                s.out_buf, nxt[None], (s.n_confirmed,))
+            n_confirmed = s.n_confirmed + 1
+            finished = (
+                s.finished
+                | (nxt == eos_id)
+                | (n_confirmed - s.init_len >= max_new)
+                | (kv_len + 2 > M)
+            )
+            return s._replace(
+                k_cache=k_cache, v_cache=v_cache, kv_len=kv_len + 1,
+                out_buf=out_buf, n_confirmed=n_confirmed,
+                step_idx=s.step_idx + 1, finished=finished,
+            )
+
+        return jax.lax.while_loop(cond, body, state)
+
+    return StepFns(
+        init_state=init_state,
+        prefill_chunk=prefill_chunk,
+        decode_loop=_loop(decode_step),
+        decode_step=decode_step,
+        sample_loop=_loop(sample_step),
+        sample_step=sample_step,
+        baseline_loop=baseline_loop,
+    )

@@ -1,0 +1,74 @@
+"""Mesh construction and sharding specs.
+
+The reference's distributed story is NCCL object-collectives driven from the
+host (reference: lade/lade_distributed.py, decoding.py:1088-1107,
+utils.py:28-33) plus external DeepSpeed TP / accelerate PP integrations
+(eval_mtbench.py:219-263). Here parallelism is expressed the TPU-native way:
+a ``jax.sharding.Mesh`` with named axes and ``NamedSharding`` annotations on
+the parameter/activation pytrees; XLA inserts the ICI collectives.
+
+Axes:
+  dp - data/request parallel (batch axis)
+  tp - tensor parallel (attention heads / MLP hidden / vocab)
+  la - lookahead parallel: shards the speculative-token axis of the
+       composite step (the reference's own DIST_WORKERS mode,
+       decoding.py:956-986) [reserved; engine integration in progress]
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.llama import LlamaConfig
+
+
+def make_mesh(dp: int = 1, tp: int = 1, la: int = 1,
+              devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = dp * tp * la
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    arr = np.asarray(devices[:n]).reshape(dp, la, tp)
+    return Mesh(arr, ("dp", "la", "tp"))
+
+
+def param_specs(cfg: LlamaConfig) -> Dict:
+    """Megatron-style tensor-parallel layout over the ``tp`` axis:
+    column-parallel QKV/gate/up (output features sharded), row-parallel
+    o/down (input features sharded), vocab-sharded embed & lm_head."""
+    return {
+        "embed": P("tp", None),
+        "layers": {
+            "input_norm": P(None, None),
+            "post_norm": P(None, None),
+            "wq": P(None, None, "tp"),
+            "wk": P(None, None, "tp"),
+            "wv": P(None, None, "tp"),
+            "wo": P(None, "tp", None),
+            "w_gate": P(None, None, "tp"),
+            "w_up": P(None, None, "tp"),
+            "w_down": P(None, "tp", None),
+        },
+        "final_norm": P(None),
+        "lm_head": P(None, "tp"),
+    }
+
+
+def shard_params(params, mesh: Mesh, cfg: LlamaConfig):
+    specs = param_specs(cfg)
+    if "lm_head" not in params:
+        specs = dict(specs)
+        specs.pop("lm_head")
+    return jax.tree.map(
+        lambda s, x: jax.device_put(x, NamedSharding(mesh, s)), specs, params,
+        is_leaf=lambda s: isinstance(s, P),
+    )
+
+
+def kv_cache_spec() -> P:
+    """KV cache [L, M, Hkv, D]: shard the KV-head axis over tp."""
+    return P(None, None, "tp", None)

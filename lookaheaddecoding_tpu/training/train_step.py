@@ -1,0 +1,84 @@
+"""Sharded next-token training step.
+
+The reference is inference-only (SURVEY.md §5: no checkpoint/training
+subsystem), but this framework uses a training step for two first-class
+purposes: (1) the multi-chip sharding dry-run compiles the full dp x tp
+training step over a mesh, and (2) benchmark models can be fitted on-device
+to synthetic corpora when no pretrained weights are reachable (zero-egress
+environments).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models import llama
+from ..parallel.sharding import param_specs
+
+
+def next_token_loss(params, cfg: llama.LlamaConfig, batch: jax.Array,
+                    rope_cos, rope_sin) -> jax.Array:
+    """Mean causal cross-entropy over [B, T] token batches."""
+    logits = llama.forward_train(params, cfg, batch[:, :-1], rope_cos, rope_sin)
+    targets = batch[:, 1:]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    return nll.mean()
+
+
+def make_train_step(
+    cfg: llama.LlamaConfig,
+    seq_len: int,
+    mesh: Optional[Mesh] = None,
+    learning_rate: float = 1e-3,
+) -> Callable:
+    """Returns jitted ``train_step(params, opt_state, batch) ->
+    (params, opt_state, loss)`` (SGD with momentum). When ``mesh`` is given,
+    parameters follow the tensor-parallel layout of parallel/sharding.py and
+    the batch is sharded over ``dp`` — XLA lowers the cross-shard grads to
+    ICI collectives."""
+    rope_cos, rope_sin = llama.rope_tables(cfg, seq_len)
+
+    def step(params, opt_state, batch):
+        loss, grads = jax.value_and_grad(next_token_loss)(
+            params, cfg, batch, rope_cos, rope_sin)
+        new_m = jax.tree.map(
+            lambda m, g: 0.9 * m + g.astype(m.dtype), opt_state, grads)
+        new_params = jax.tree.map(
+            lambda p, m: (p - learning_rate * m.astype(jnp.float32)).astype(p.dtype),
+            params, new_m)
+        return new_params, new_m, loss
+
+    if mesh is None:
+        return jax.jit(step)
+
+    specs = param_specs(cfg)
+    p_shard = jax.tree.map(
+        lambda s: NamedSharding(mesh, s), specs,
+        is_leaf=lambda s: isinstance(s, P))
+    batch_shard = NamedSharding(mesh, P("dp", None))
+
+    def shard_tree_like(tree_specs, params):
+        # align spec tree with the (possibly lm_head-less) param tree
+        out = {k: v for k, v in tree_specs.items()}
+        if "lm_head" not in params and "lm_head" in out:
+            del out["lm_head"]
+        return out
+
+    def sharded_step(params, opt_state, batch):
+        ps = shard_tree_like(p_shard, params)
+        return jax.jit(
+            step,
+            in_shardings=(ps, ps, batch_shard),
+            out_shardings=(ps, ps, NamedSharding(mesh, P())),
+        )(params, opt_state, batch)
+
+    return sharded_step
+
+
+def init_opt_state(params):
+    return jax.tree.map(lambda p: jnp.zeros_like(p, jnp.float32), params)

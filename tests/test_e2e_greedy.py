@@ -1,0 +1,84 @@
+"""End-to-end greedy lookahead decoding tests on a tiny random model.
+
+The exactness property is the reference's own acceptance criterion: lookahead
+output must be token-identical to vanilla greedy decoding
+(reference README.md:130-133; minimal.py compares USE_LADE on/off)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import lookaheaddecoding_tpu as lt
+
+
+def tiny_engine(level=4, window=5, guess=4, pool_from_prompt=False, seed=0,
+                max_seq=256, **ecfg_kw):
+    mcfg = lt.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=512, dtype=jnp.float32)
+    params = lt.init_params(mcfg, jax.random.PRNGKey(seed), scale=0.5)
+    lcfg = lt.LookaheadConfig(level=level, window_size=window,
+                              guess_set_size=guess,
+                              pool_from_prompt=pool_from_prompt)
+    ecfg = lt.EngineConfig(max_seq_len=max_seq, prefill_chunk=16,
+                           dtype="float32", **ecfg_kw)
+    return lt.LookaheadEngine(mcfg, params, lcfg, ecfg)
+
+
+@pytest.mark.parametrize("pool_from_prompt", [False, True])
+def test_token_exact_vs_baseline(pool_from_prompt):
+    eng = tiny_engine(pool_from_prompt=pool_from_prompt)
+    prompt = list(np.random.RandomState(0).randint(0, 128, size=20))
+    base = eng.generate_baseline(prompt, 64)
+    lade = eng.generate(prompt, 64)
+    assert base.num_generated == 64
+    np.testing.assert_array_equal(base.tokens, lade.tokens)
+    assert lade.steps <= base.steps
+
+
+def test_compression_ratio_above_one_on_repetitive_model():
+    # Random tiny models greedily decode into loops, which the n-gram pool
+    # exploits; compression must exceed 1 once guesses start hitting.
+    eng = tiny_engine(level=5, window=6, guess=6)
+    prompt = list(np.random.RandomState(1).randint(0, 128, size=16))
+    r = eng.generate(prompt, 100)
+    assert r.num_generated == 100
+    assert r.compression_ratio > 1.0
+
+
+def test_eos_stops_generation():
+    eng = tiny_engine()
+    prompt = list(np.random.RandomState(0).randint(0, 128, size=12))
+    free = eng.generate(prompt, 80)
+    # Pick a token that actually occurs in the free-running output and use it
+    # as EOS; generation must stop right at its first occurrence.
+    gen = free.new_tokens
+    eos = int(gen[10])
+    first = int(np.argmax(gen == eos))
+    r = eng.generate(prompt, 80, eos_token_id=eos)
+    np.testing.assert_array_equal(r.new_tokens, gen[:first + 1])
+
+
+def test_streaming_matches_oneshot():
+    eng = tiny_engine()
+    prompt = list(np.random.RandomState(2).randint(0, 128, size=10))
+    oneshot = eng.generate(prompt, 40)
+    chunks = list(eng.generate_stream(prompt, 40))
+    streamed = np.concatenate(chunks)
+    np.testing.assert_array_equal(streamed, oneshot.new_tokens)
+
+
+def test_prompt_of_length_one():
+    eng = tiny_engine()
+    base = eng.generate_baseline([5], 32)
+    lade = eng.generate([5], 32)
+    np.testing.assert_array_equal(base.tokens, lade.tokens)
+
+
+def test_max_new_trims_overshoot():
+    eng = tiny_engine()
+    prompt = list(np.random.RandomState(3).randint(0, 128, size=10))
+    r = eng.generate(prompt, 17)
+    assert r.num_generated == 17

@@ -1,0 +1,76 @@
+"""N-gram pool property tests: LRU cap / move-to-back / evict-oldest
+semantics of the reference's token_map (lade/decoding.py:37-127)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from lookaheaddecoding_tpu.core.pool import (
+    PoolState, fill_pool_with_prompt, pool_init, pool_lookup, pool_update,
+)
+
+
+def upd(pool, pairs):
+    keys = jnp.asarray([k for k, _ in pairs], jnp.int32)
+    tups = jnp.asarray([t for _, t in pairs], jnp.int32)
+    return pool_update(pool, keys, tups, jnp.ones((len(pairs),), bool))
+
+
+def entries(pool, key):
+    vals, valid = pool_lookup(pool, jnp.int32(key))
+    vals, valid = np.asarray(vals), np.asarray(valid)
+    out = {tuple(vals[i]) for i in range(len(valid)) if valid[i]}
+    return out
+
+
+def test_insert_and_lookup():
+    pool = pool_init(32, guess_set_size=3, guess_size=2)
+    pool = upd(pool, [(5, (1, 2)), (5, (3, 4)), (7, (9, 9))])
+    assert entries(pool, 5) == {(1, 2), (3, 4)}
+    assert entries(pool, 7) == {(9, 9)}
+    assert entries(pool, 6) == set()
+
+
+def test_duplicate_refreshes_not_duplicates():
+    pool = pool_init(32, 3, 2)
+    pool = upd(pool, [(5, (1, 2)), (5, (1, 2)), (5, (1, 2))])
+    assert entries(pool, 5) == {(1, 2)}
+
+
+def test_lru_eviction_order():
+    pool = pool_init(32, 2, 2)
+    pool = upd(pool, [(5, (1, 1)), (5, (2, 2))])
+    # full; inserting a third evicts the oldest (1,1)
+    pool = upd(pool, [(5, (3, 3))])
+    assert entries(pool, 5) == {(2, 2), (3, 3)}
+
+
+def test_lru_move_to_back_on_hit():
+    pool = pool_init(32, 2, 2)
+    pool = upd(pool, [(5, (1, 1)), (5, (2, 2))])
+    # touching (1,1) makes (2,2) the eviction victim
+    pool = upd(pool, [(5, (1, 1)), (5, (3, 3))])
+    assert entries(pool, 5) == {(1, 1), (3, 3)}
+
+
+def test_invalid_lanes_are_noops():
+    pool = pool_init(32, 2, 2)
+    keys = jnp.asarray([5, 5], jnp.int32)
+    tups = jnp.asarray([(1, 1), (2, 2)], jnp.int32)
+    pool = pool_update(pool, keys, tups, jnp.asarray([True, False]))
+    assert entries(pool, 5) == {(1, 1)}
+
+
+def test_fill_pool_with_prompt_matches_reference_ngrams():
+    # reference fill_pool_with_prompt (decoding.py:104-127): every start idx
+    # contributes key=prompt[i], tup=prompt[i+1:i+LEVEL]
+    level = 3
+    prompt = np.array([4, 7, 4, 7, 9, 2], np.int32)
+    buf = np.zeros(16, np.int32)
+    buf[: len(prompt)] = prompt
+    pool = pool_init(16, 4, level - 1)
+    pool = fill_pool_with_prompt(
+        pool, jnp.asarray(buf), jnp.int32(len(prompt)), level)
+    assert entries(pool, 4) == {(7, 4), (7, 9)}
+    assert entries(pool, 7) == {(4, 7), (9, 2)}
+    assert entries(pool, 9) == set()      # 9 starts no complete n-gram
+    assert entries(pool, 0) == set()      # padding contributes nothing
