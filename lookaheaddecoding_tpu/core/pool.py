@@ -52,30 +52,64 @@ def pool_update(
     tups: jax.Array,     # [K, GS] int32 n-grams
     valid: jax.Array,    # [K] bool; invalid lanes are no-ops
 ) -> PoolState:
-    """Insert K (key, n-gram) pairs sequentially (order defines LRU time,
-    matching the reference's per-n-gram loop order in update_token_map)."""
-    if pool.age.shape[1] == 0:
+    """Insert K (key, n-gram) pairs with sequential LRU semantics (lane
+    order defines logical time, matching the reference's per-n-gram loop
+    order in update_token_map).
+
+    TPU shape: per-lane scatters into the [V, G, GS] table are ruinously
+    slow (~1ms each), so the sequential chain runs on a small gathered
+    working set ([K, G, GS]) and the result is written back with ONE
+    batched scatter. Duplicate keys within a batch chain through
+    ``prev_same`` so later lanes see earlier lanes' edits; only each key's
+    last lane writes back."""
+    k_lanes = keys.shape[0]
+    if pool.age.shape[1] == 0 or k_lanes == 0:
         return pool
     trash_row = pool.values.shape[0] - 1
     keys = jnp.where(valid, keys, trash_row)
 
-    def body(i, p: PoolState):
-        key = keys[i]
-        tup = tups[i]
-        row_vals = p.values[key]                        # [G, GS]
-        row_age = p.age[key]                            # [G]
-        match = jnp.all(row_vals == tup[None, :], axis=-1) & (row_age > 0)
-        has_match = jnp.any(match)
-        slot = jnp.where(
-            has_match, jnp.argmax(match), jnp.argmin(row_age)
-        )
-        # On match row_vals[slot] == tup already, so an unconditional write
-        # is correct for both the refresh and insert/evict cases.
-        values = p.values.at[key, slot].set(tup)
-        age = p.age.at[key, slot].set(p.clock)
-        return PoolState(values, age, p.clock + 1)
+    lane = jnp.arange(k_lanes)
+    same = (keys[None, :] == keys[:, None])              # [K, K]
+    before = lane[None, :] < lane[:, None]
+    sb = same & before
+    # index of the previous lane with the same key, -1 if none
+    prev_same = jnp.where(
+        jnp.any(sb, axis=1),
+        k_lanes - 1 - jnp.argmax(sb[:, ::-1], axis=1), -1)
+    is_last = ~jnp.any(same & ~before & (lane[None, :] != lane[:, None]),
+                       axis=1)
 
-    return jax.lax.fori_loop(0, keys.shape[0], body, pool)
+    rows0 = pool.values[keys]                            # [K, G, GS] gather
+    ages0 = pool.age[keys]                               # [K, G]
+
+    def body(i, carry):
+        work_vals, work_age = carry
+        p = prev_same[i]
+        row = jnp.where(p >= 0, work_vals[p], rows0[i])
+        arow = jnp.where(p >= 0, work_age[p], ages0[i])
+        tup = tups[i]
+        match = jnp.all(row == tup[None, :], axis=-1) & (arow > 0)
+        slot = jnp.where(
+            jnp.any(match), jnp.argmax(match), jnp.argmin(arow))
+        # On match row[slot] == tup already, so an unconditional write is
+        # correct for both the refresh and insert/evict cases.
+        row = jax.lax.dynamic_update_slice(row, tup[None, :], (slot, 0))
+        arow = jax.lax.dynamic_update_slice(
+            arow, (pool.clock + i)[None], (slot,))
+        work_vals = jax.lax.dynamic_update_slice(
+            work_vals, row[None], (i, 0, 0))
+        work_age = jax.lax.dynamic_update_slice(work_age, arow[None], (i, 0))
+        return work_vals, work_age
+
+    work_vals, work_age = jax.lax.fori_loop(
+        0, k_lanes, body, (rows0, ages0))
+
+    # single batched write-back; non-final duplicate lanes go to the trash
+    # row so all real indices are unique
+    keys_final = jnp.where(is_last, keys, trash_row)
+    values = pool.values.at[keys_final].set(work_vals, unique_indices=False)
+    age = pool.age.at[keys_final].set(work_age, unique_indices=False)
+    return PoolState(values, age, pool.clock + k_lanes)
 
 
 def pool_lookup(pool: PoolState, key: jax.Array) -> Tuple[jax.Array, jax.Array]:

@@ -138,19 +138,34 @@ def build_step_fns(
             ).astype(jnp.int32)
             positions = kv_len + rel_pos
 
-            # Mask over absolute cache slots: committed region fully
-            # visible, speculative block gets the static within-composite
-            # mask, everything else -inf. (Replaces the reference's
-            # per-step host-built dense mask, modeling_llama.py:115-207.)
-            base = jnp.where(
-                col_ids[None, :] < kv_len, 0.0, NEG_INF
-            ) * jnp.ones((S, 1), jnp.float32)
-            mask = jax.lax.dynamic_update_slice(base, spec_add, (0, kv_len))
+            if lcfg.attention_impl == "pallas":
+                # Composite mask fused into the kernel — no [S, M] dense
+                # mask materialization at all (flash_attn_lade analog).
+                mask = None
+                attn_meta = {
+                    "kv_len": kv_len, "level": N, "window": W,
+                    "guess_size": GS,
+                    "interpret": jax.default_backend() == "cpu",
+                }
+            else:
+                # Mask over absolute cache slots: committed region fully
+                # visible, speculative block gets the static
+                # within-composite mask, everything else -inf. (Replaces
+                # the reference's per-step host-built dense mask,
+                # modeling_llama.py:115-207.)
+                base = jnp.where(
+                    col_ids[None, :] < kv_len, 0.0, NEG_INF
+                ) * jnp.ones((S, 1), jnp.float32)
+                mask = jax.lax.dynamic_update_slice(
+                    base, spec_add, (0, kv_len))
+                attn_meta = None
 
             logits, k_cache, v_cache = llama.forward(
                 params, mcfg, tokens, positions, state.k_cache,
                 state.v_cache, kv_len, mask, rope_cos, rope_sin,
                 logits_rows=logits_rows,
+                attn_impl="pallas" if lcfg.attention_impl == "pallas" else "xla",
+                attn_meta=attn_meta,
             )
 
             new_results = jnp.argmax(logits[INP_ROWS], axis=-1).astype(jnp.int32)

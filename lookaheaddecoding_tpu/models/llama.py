@@ -217,14 +217,18 @@ def forward(
     k_cache: jax.Array,       # [L, M, Hkv, D]
     v_cache: jax.Array,       # [L, M, Hkv, D]
     write_start: jax.Array,   # scalar int32: cache slot of tokens[0]
-    mask: jax.Array,          # [T, M] additive fp32 over absolute slots
+    mask: Optional[jax.Array],  # [T, M] additive fp32 (None for fused attn)
     rope_cos: jax.Array,      # [M, D] fp32
     rope_sin: jax.Array,      # [M, D] fp32
     logits_rows: Optional[jax.Array] = None,  # static row gather before lm_head
+    attn_impl: str = "xla",
+    attn_meta: Optional[Dict] = None,  # pallas: kv_len + W/N/GS + interpret
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """One forward over the layer stack. Tokens are written into the cache at
     slots [write_start, write_start+T) in every layer; attention then reads
-    the full buffer under ``mask``. Returns (logits, k_cache, v_cache)."""
+    the full buffer — under the additive ``mask`` (attn_impl="xla") or with
+    the composite mask fused into the Pallas kernel (attn_impl="pallas",
+    the flash_attn_lade analog). Returns (logits, k_cache, v_cache)."""
     h = cfg.hidden_size
     hq, hkv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     t = tokens.shape[0]
@@ -234,22 +238,32 @@ def forward(
     sin = jnp.take(rope_sin, positions, axis=0)
 
     lp = params["layers"]
+    from ..ops.quant import qmatmul
 
     def layer_fn(x, scanned):
         p, kc, vc = scanned
         y = rms_norm(x, p["input_norm"], cfg.rms_norm_eps)
-        q = (y @ p["wq"]).reshape(t, hq, d)
-        k = (y @ p["wk"]).reshape(t, hkv, d)
-        vv = (y @ p["wv"]).reshape(t, hkv, d)
+        q = qmatmul(y, p["wq"]).reshape(t, hq, d)
+        k = qmatmul(y, p["wk"]).reshape(t, hkv, d)
+        vv = qmatmul(y, p["wv"]).reshape(t, hkv, d)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         kc = jax.lax.dynamic_update_slice(kc, k, (write_start, 0, 0))
         vc = jax.lax.dynamic_update_slice(vc, vv, (write_start, 0, 0))
-        attn = attention_xla(q, kc, vc, mask)              # [T, Hq*D]
-        x = x + (attn.astype(cfg.dtype) @ p["wo"])
+        if attn_impl == "pallas":
+            from ..ops.lookahead_attention import lookahead_attention
+            attn = lookahead_attention(
+                q, kc, vc, attn_meta["kv_len"],
+                level=attn_meta["level"], window=attn_meta["window"],
+                guess_size=attn_meta["guess_size"],
+                interpret=attn_meta.get("interpret", False))
+        else:
+            attn = attention_xla(q, kc, vc, mask)          # [T, Hq*D]
+        x = x + qmatmul(attn.astype(cfg.dtype), p["wo"])
         y = rms_norm(x, p["post_norm"], cfg.rms_norm_eps)
-        gate = jax.nn.silu((y @ p["w_gate"]).astype(jnp.float32)).astype(cfg.dtype)
-        x = x + ((gate * (y @ p["w_up"])) @ p["w_down"])
+        gate = jax.nn.silu(
+            qmatmul(y, p["w_gate"]).astype(jnp.float32)).astype(cfg.dtype)
+        x = x + qmatmul(gate * qmatmul(y, p["w_up"]), p["w_down"])
         return x, (kc, vc)
 
     x, (k_cache, v_cache) = jax.lax.scan(layer_fn, x, (lp, k_cache, v_cache))
@@ -259,8 +273,10 @@ def forward(
         x = jnp.take(x, logits_rows, axis=0)
     head = params.get("lm_head")
     if head is None:
-        head = params["embed"].T
-    logits = (x @ head).astype(jnp.float32)
+        logits = (x @ params["embed"].T).astype(jnp.float32)
+    else:
+        from ..ops.quant import qmatmul as _qm
+        logits = _qm(x, head).astype(jnp.float32)
     return logits, k_cache, v_cache
 
 

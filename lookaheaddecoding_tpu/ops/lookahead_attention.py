@@ -1,0 +1,196 @@
+"""Fused lookahead attention kernel (Pallas / Mosaic).
+
+TPU-native equivalent of the reference's forked FlashAttention CUDA kernel
+``flash_attn_lade`` (reference: lade/models/modeling_llama.py:58-63 import,
+:680-715 invocation; the fork applies the composite lookahead+verification
+mask *inside* the kernel, parameterized by a 7-int descriptor, instead of
+materializing a dense additive mask). Here the mask is derived analytically
+per KV block from integer iota arithmetic and two runtime scalars
+(``kv_len`` plus the static W/N/G layout), with:
+
+  - online-softmax accumulation over KV blocks (FlashAttention-2 style),
+  - grouped-query attention folded in (q rows = rep * S per KV head),
+  - KV-block skipping: blocks past ``kv_len + S`` are clamped to the last
+    active block via the scalar-prefetched index map and their compute is
+    predicated away, so decode cost scales with the *live* context length,
+    not the cache capacity.
+
+Mask semantics (must equal core/layout.py:_build_spec_mask; tested against
+it): query rows are [lst + window levels + guess n-grams]; a committed key
+slot (< kv_len) is visible to every query; speculative keys follow the
+within-composite visibility rules.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float("-inf")
+
+
+def _spec_visible(qi, rj, *, level, window, guess_size):
+    """Within-composite visibility, computed from index arithmetic.
+
+    qi: [rows, BK] spec row ids (0..S-1); rj: [rows, BK] key index relative
+    to kv_len. Both int32. Returns bool visibility. Mirrors
+    core/layout.py:_build_spec_mask (itself mirroring reference
+    modeling_llama.py:115-207)."""
+    n, w, gs = level, window, guess_size
+    nw = (n - 1) * w          # window region size (incl. the lst slot)
+
+    q_in_win = qi < nw
+    lvl_q = qi // w
+    pos_q = qi % w
+    k_in_win = rj < nw
+    lvl_k = rj // w
+    pos_k = rj % w
+
+    win_win = q_in_win & k_in_win & (
+        ((lvl_k == 0) & (pos_k <= pos_q))
+        | ((lvl_k >= 1) & (lvl_k <= lvl_q) & (pos_k == pos_q))
+    )
+
+    g_q = (qi - nw) // gs
+    i_q = (qi - nw) % gs
+    g_k = (rj - nw) // gs
+    i_k = (rj - nw) % gs
+    guess_q = (~q_in_win) & (
+        (rj == 0) | ((~k_in_win) & (g_k == g_q) & (i_k <= i_q))
+    )
+    return win_win | guess_q
+
+
+def _kernel(kv_len_ref, q_ref, k_ref, v_ref, o_ref,
+            acc_ref, m_ref, l_ref, *,
+            level, window, guess_size, s_len, block_k, n_blocks, scale):
+    g = pl.program_id(0)
+    j = pl.program_id(1)
+    kv_len = kv_len_ref[0]
+    rows = q_ref.shape[1]
+
+    last_active = jnp.maximum(
+        (kv_len + s_len + block_k - 1) // block_k - 1, 0)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    @pl.when(j <= last_active)
+    def _compute():
+        q = q_ref[0].astype(jnp.float32)                 # [rows, D]
+        k = k_ref[0].astype(jnp.float32)                 # [BK, D]
+        v = v_ref[0].astype(jnp.float32)                 # [BK, D]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # [rows, BK]
+
+        col = j * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (rows, block_k), 1)
+        qi = jax.lax.broadcasted_iota(
+            jnp.int32, (rows, block_k), 0) % s_len
+        rel = col - kv_len
+        visible = (col < kv_len) | (
+            (rel >= 0) & (rel < s_len)
+            & _spec_visible(qi, rel, level=level, window=window,
+                            guess_size=guess_size))
+        s = jnp.where(visible, s, NEG_INF)
+
+        m_prev = m_ref[:, :1]                            # [rows, 1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        # all-masked rows/blocks: keep exp argument finite
+        p = jnp.exp(s - jnp.where(m_new == NEG_INF, 0.0, m_new))
+        p = jnp.where(visible, p, 0.0)
+        alpha = jnp.exp(
+            jnp.where(m_prev == NEG_INF, NEG_INF, m_prev - m_new))
+        alpha = jnp.where(m_new == NEG_INF, 0.0, alpha)
+
+        l_ref[:, :1] = alpha * l_ref[:, :1] + jnp.sum(p, axis=1, keepdims=True)
+        acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_ref[:, :1] = m_new
+
+    @pl.when(j == n_blocks - 1)
+    def _finalize():
+        denom = jnp.maximum(l_ref[:, :1], 1e-30)
+        o_ref[0] = (acc_ref[...] / denom).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("level", "window", "guess_size", "block_k", "interpret"))
+def lookahead_attention(
+    q: jax.Array,          # [S, Hq, D]
+    k: jax.Array,          # [M, Hkv, D] full cache buffer (already updated)
+    v: jax.Array,          # [M, Hkv, D]
+    kv_len: jax.Array,     # scalar int32
+    *,
+    level: int,
+    window: int,
+    guess_size: int,
+    block_k: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused composite-mask attention. Returns [S, Hq*D] in q.dtype."""
+    s_len, hq, d = q.shape
+    m, hkv, _ = k.shape
+    rep = hq // hkv
+    block_k = min(block_k, m)
+    assert m % block_k == 0, "cache capacity must be a multiple of block_k"
+    n_blocks = m // block_k
+    scale = 1.0 / math.sqrt(d)
+
+    # [S, Hq, D] -> [Hkv, rep*S, D]; rows padded to sublane multiple
+    qh = q.transpose(1, 0, 2).reshape(hkv, rep * s_len, d)
+    rows = rep * s_len
+    rows_pad = -(-rows // 8) * 8
+    if rows_pad != rows:
+        qh = jnp.pad(qh, ((0, 0), (0, rows_pad - rows), (0, 0)))
+    kh = k.transpose(1, 0, 2)          # [Hkv, M, D]
+    vh = v.transpose(1, 0, 2)
+
+    kernel = functools.partial(
+        _kernel, level=level, window=window, guess_size=guess_size,
+        s_len=s_len, block_k=block_k, n_blocks=n_blocks, scale=scale)
+
+    def kv_index(g, j, kv_len_ref):
+        last_active = jnp.maximum(
+            (kv_len_ref[0] + s_len + block_k - 1) // block_k - 1, 0)
+        return (g, jnp.minimum(j, last_active), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(hkv, n_blocks),
+        in_specs=[
+            pl.BlockSpec((1, rows_pad, d), lambda g, j, kv_len_ref: (g, 0, 0)),
+            pl.BlockSpec((1, block_k, d), kv_index),
+            pl.BlockSpec((1, block_k, d), kv_index),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, rows_pad, d), lambda g, j, kv_len_ref: (g, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((rows_pad, d), jnp.float32),     # acc
+            pltpu.VMEM((rows_pad, 128), jnp.float32),   # running max
+            pltpu.VMEM((rows_pad, 128), jnp.float32),   # running denom
+        ],
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((hkv, rows_pad, d), q.dtype),
+        interpret=interpret,
+    )(kv_len.reshape(1).astype(jnp.int32), qh, kh, vh)
+
+    out = out[:, :rows, :].reshape(hkv, rep, s_len, d)
+    return out.transpose(2, 0, 1, 3).reshape(s_len, hq * d)

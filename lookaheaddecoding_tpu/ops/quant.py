@@ -1,0 +1,102 @@
+"""Weight-only quantization (INT8 / INT4) for the decode path.
+
+The reference has no quantization support (USE_AWQ is asserted False,
+reference decoding.py:863-874); this framework makes it first-class because
+single-chip decode throughput is HBM-bandwidth-bound: int8 weights halve and
+int4 weights quarter the bytes-per-step.
+
+Representation: a quantized linear layer replaces the plain ``[in, out]``
+bf16 array with a dict of arrays (scan-compatible pytree; the key name
+carries the bit width):
+
+    int8: {"q":  int8[in, out],   "scale": f32[1, out]}
+    int4: {"q4": int8[in/2, out], "scale": f32[1, out]}  (two nibbles/byte)
+
+Per-output-channel symmetric scaling. Dequantization is expressed as
+``q.astype(bf16) * scale`` right before the matmul so XLA fuses the convert
+into the MXU operand load — weights stream from HBM at the quantized width.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def quantize_weight(w: jax.Array, bits: int = 8) -> Dict[str, Any]:
+    """Symmetric per-output-channel quantization of an [in, out] matrix."""
+    wf = np.asarray(w, np.float32)
+    if bits == 8:
+        amax = np.abs(wf).max(axis=0, keepdims=True)
+        scale = np.maximum(amax / 127.0, 1e-8)
+        q = np.clip(np.rint(wf / scale), -127, 127).astype(np.int8)
+        return {"q": jnp.asarray(q), "scale": jnp.asarray(scale)}
+    elif bits == 4:
+        amax = np.abs(wf).max(axis=0, keepdims=True)
+        scale = np.maximum(amax / 7.0, 1e-8)
+        q = np.clip(np.rint(wf / scale), -7, 7).astype(np.int8)
+        # pack two int4 values per int8 along the input axis
+        assert q.shape[0] % 2 == 0, "input dim must be even for int4 packing"
+        lo = q[0::2] & 0x0F
+        hi = (q[1::2] & 0x0F) << 4
+        packed = (lo | hi).astype(np.int8)
+        return {"q4": jnp.asarray(packed), "scale": jnp.asarray(scale)}
+    raise ValueError(f"unsupported bits: {bits}")
+
+
+def dequantize_weight(wq: Dict[str, Any], dtype=jnp.bfloat16) -> jax.Array:
+    if "q" in wq:
+        return (wq["q"].astype(jnp.float32) * wq["scale"]).astype(dtype)
+    # int4: unpack interleaved rows
+    packed = wq["q4"]
+    lo = (packed << 4).astype(jnp.int8) >> 4        # sign-extend low nibble
+    hi = packed >> 4                                 # arithmetic shift
+    n_in = packed.shape[0] * 2
+    # rows interleave as [lo0, hi0, lo1, hi1, ...] — pure reshape, no scatter
+    q = jnp.stack([lo, hi], axis=1).reshape(n_in, packed.shape[1])
+    return (q.astype(jnp.float32) * wq["scale"]).astype(dtype)
+
+
+def qmatmul(x: jax.Array, w, dtype=None) -> jax.Array:
+    """``x @ w`` where w is a plain array or a quantized dict. The dequant
+    cast sits directly on the matmul operand so XLA fuses it into the MXU
+    load (weights stream at int width)."""
+    if not isinstance(w, dict):
+        return x @ w
+    dtype = dtype or x.dtype
+    return x @ dequantize_weight(w, dtype=dtype)
+
+
+_QUANT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+
+
+def quantize_params(params: Dict, bits: int = 8,
+                    quantize_lm_head: bool = False) -> Dict:
+    """Quantize the per-layer projection matrices (stacked [L, in, out] —
+    quantized per layer per output channel). Embedding and norms stay in
+    bf16; the lm_head optionally."""
+    out = {k: v for k, v in params.items()}
+    layers = dict(params["layers"])
+    qkey = "q" if bits == 8 else "q4"
+    for key in _QUANT_KEYS:
+        stacked = np.asarray(layers[key], np.float32)
+        qs, scales = [], []
+        for l in range(stacked.shape[0]):
+            wq = quantize_weight(stacked[l], bits)
+            qs.append(np.asarray(wq[qkey]))
+            scales.append(np.asarray(wq["scale"]))
+        layers[key] = {qkey: jnp.asarray(np.stack(qs)),
+                       "scale": jnp.asarray(np.stack(scales))}
+    out["layers"] = layers
+    if quantize_lm_head and "lm_head" in params:
+        out["lm_head"] = quantize_weight(np.asarray(params["lm_head"]), bits)
+    return out
+
+
+def quantized_bits(w) -> int:
+    if not isinstance(w, dict):
+        return 0
+    return 8 if "q" in w else 4

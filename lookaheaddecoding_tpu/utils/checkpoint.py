@@ -1,0 +1,68 @@
+"""Parameter checkpoint save/load.
+
+The reference has no checkpoint subsystem (weights always come from the HF
+hub, reference utils.py:94-95; SURVEY.md §5 "Checkpoint / resume: none").
+Here converted / quantized parameter pytrees can be persisted so the
+(CPU-heavy) HF conversion and quantization run once.
+
+Format: a single .npz of path-flattened arrays plus a tiny JSON config
+sidecar — dependency-free and layout-stable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.llama import LlamaConfig
+
+_SEP = "::"
+
+
+def _flatten(tree, prefix="") -> Dict[str, np.ndarray]:
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}{_SEP}"))
+    else:
+        out[prefix[: -len(_SEP)]] = np.asarray(tree)
+    return out
+
+
+def _unflatten(flat: Dict[str, np.ndarray]):
+    tree: Dict = {}
+    for path, arr in flat.items():
+        node = tree
+        parts = path.split(_SEP)
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(arr)
+    return tree
+
+
+def save_params(path: str, cfg: LlamaConfig, params) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    flat = _flatten(params)
+    np.savez(path, **flat)
+    cfg_dict = dataclasses.asdict(cfg)
+    cfg_dict["dtype"] = jnp.dtype(cfg.dtype).name
+    with open(path + ".config.json", "w") as f:
+        json.dump(cfg_dict, f, indent=2)
+
+
+def load_params(path: str) -> Tuple[LlamaConfig, Dict]:
+    with open(path + ".config.json") as f:
+        cfg_dict = json.load(f)
+    cfg_dict["dtype"] = jnp.dtype(cfg_dict["dtype"]).type
+    if cfg_dict.get("rope_scaling") is not None:
+        cfg_dict["rope_scaling"] = tuple(cfg_dict["rope_scaling"])
+    cfg = LlamaConfig(**cfg_dict)
+    with np.load(path) as z:
+        flat = {k: z[k] for k in z.files}
+    return cfg, _unflatten(flat)
