@@ -88,7 +88,8 @@ def main():
     log("compiling lookahead loop...")
     t0 = time.time()
     eng.generate(prompt, 8)
-    log(f"  lookahead compile+first: {time.time()-t0:.1f}s")
+    eng.generate(prompt, N_NEW)     # full-length warm pass
+    log(f"  lookahead compile+warm: {time.time()-t0:.1f}s")
     t0 = time.time()
     r = eng.generate(prompt, N_NEW)
     lade_s = time.time() - t0
@@ -99,7 +100,8 @@ def main():
     log("compiling baseline loop...")
     t0 = time.time()
     eng.generate_baseline(prompt, 8)
-    log(f"  baseline compile+first: {time.time()-t0:.1f}s")
+    eng.generate_baseline(prompt, N_NEW)
+    log(f"  baseline compile+warm: {time.time()-t0:.1f}s")
     t0 = time.time()
     rb = eng.generate_baseline(prompt, N_NEW)
     base_s = time.time() - t0

@@ -35,6 +35,10 @@ class LookaheadConfig:
     window_size: int = 7      # W: lookahead window width
     guess_set_size: int = 7   # G: max candidate n-grams verified per step & LRU cap
     pool_from_prompt: bool = False  # seed the n-gram pool from the prompt tokens
+    # Window seeding strategy (reference decoding.py:884-900 — the reference
+    # defines random_set / copy_from / order_copy_from / copy_from_last and
+    # uses copy_from):
+    window_init: str = "copy_from"
     # Attention implementation for the composite step:
     #   "xla"    - dense additive mask built in-graph (reference eager path analog)
     #   "pallas" - fused kernel computing the composite mask in-kernel

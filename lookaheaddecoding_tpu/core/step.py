@@ -83,11 +83,19 @@ def build_step_fns(
     # Init
     # ------------------------------------------------------------------
     def init_state(k_cache, v_cache, pool: PoolState, out_buf, prompt_len, rng):
-        """Window seeded with random prompt copies (reference ``copy_from``
-        init, decoding.py:887-902) at steady-state level sizes."""
+        """Window seeded at steady-state level sizes per the configured
+        strategy (reference decoding.py:884-902; default ``copy_from``)."""
         rng, sub = jax.random.split(rng)
-        idx = jax.random.randint(sub, (n_window,), 0, prompt_len)
-        window = out_buf[idx]
+        if lcfg.window_init == "random_set":
+            window = jax.random.randint(
+                sub, (n_window,), 0, mcfg.vocab_size)
+        elif lcfg.window_init == "order_copy_from":
+            window = out_buf[jnp.arange(n_window) % prompt_len]
+        elif lcfg.window_init == "copy_from_last":
+            window = jnp.full((n_window,), out_buf[prompt_len - 1])
+        else:  # copy_from (reference default, decoding.py:900)
+            idx = jax.random.randint(sub, (n_window,), 0, prompt_len)
+            window = out_buf[idx]
         return DecodeState(
             k_cache=k_cache,
             v_cache=v_cache,
