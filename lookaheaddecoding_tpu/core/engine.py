@@ -69,6 +69,7 @@ class LookaheadEngine:
         lookahead: Optional[LookaheadConfig] = None,
         engine: Optional[EngineConfig] = None,
         log=None,
+        mesh=None,
     ):
         self.mcfg = model_cfg
         self.params = params
@@ -76,10 +77,12 @@ class LookaheadEngine:
         self.ecfg = engine or EngineConfig()
         self.layout: Layout = build_layout(self.lcfg)
         self.log = log
+        self.mesh = mesh
         if self.ecfg.max_seq_len < self.layout.seq_len + 8:
             raise ValueError("max_seq_len too small for the composite step")
 
-        fns = build_step_fns(self.mcfg, self.lcfg, self.ecfg, self.layout)
+        fns = build_step_fns(self.mcfg, self.lcfg, self.ecfg, self.layout,
+                             mesh=mesh)
         self._init_state = jax.jit(fns.init_state, donate_argnums=(0, 1, 3))
         self._prefill = jax.jit(fns.prefill_chunk, donate_argnums=(1,))
         self._loop = jax.jit(fns.decode_loop, donate_argnums=(1,))
@@ -179,7 +182,7 @@ class LookaheadEngine:
         loop = self._sample_loops.get(sampling.top_k)
         if loop is None:
             fns = build_step_fns(self.mcfg, self.lcfg, self.ecfg, self.layout,
-                                 top_k=sampling.top_k)
+                                 top_k=sampling.top_k, mesh=self.mesh)
             loop = jax.jit(fns.sample_loop, donate_argnums=(1,))
             self._sample_loops[sampling.top_k] = loop
         state = self._prepare(prompt_ids, seed)

@@ -51,6 +51,7 @@ def build_step_fns(
     ecfg: EngineConfig,
     layout: Layout,
     top_k: int = 0,
+    mesh=None,
 ) -> StepFns:
     M = ecfg.max_seq_len
     S = layout.seq_len
@@ -60,6 +61,14 @@ def build_step_fns(
     GS = layout.guess_size
     n_window = layout.n_window
     C = ecfg.prefill_chunk
+
+    shard_tokens = None
+    if mesh is not None and ecfg.la > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def shard_tokens(x):
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, P("la", None)))
 
     rope_cos, rope_sin = llama.rope_tables(mcfg, M)
     rel_pos = jnp.asarray(layout.rel_pos)
@@ -174,6 +183,7 @@ def build_step_fns(
                 logits_rows=logits_rows,
                 attn_impl="pallas" if lcfg.attention_impl == "pallas" else "xla",
                 attn_meta=attn_meta,
+                shard_tokens=shard_tokens,
             )
 
             new_results = jnp.argmax(logits[INP_ROWS], axis=-1).astype(jnp.int32)

@@ -223,6 +223,7 @@ def forward(
     logits_rows: Optional[jax.Array] = None,  # static row gather before lm_head
     attn_impl: str = "xla",
     attn_meta: Optional[Dict] = None,  # pallas: kv_len + W/N/GS + interpret
+    shard_tokens=None,   # callable x->x: sharding constraint on the token axis
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """One forward over the layer stack. Tokens are written into the cache at
     slots [write_start, write_start+T) in every layer; attention then reads
@@ -234,6 +235,13 @@ def forward(
     t = tokens.shape[0]
 
     x = jnp.take(params["embed"], tokens, axis=0)          # [T, H]
+    if shard_tokens is not None:
+        # Lookahead parallelism: split the composite/speculative token axis
+        # over the "la" mesh axis (the TPU-native form of the reference's
+        # DIST_WORKERS window/guess sharding, decoding.py:956-986) — XLA
+        # partitions the per-token matmuls and inserts the ICI collectives
+        # the reference performs by hand (:1043-1107).
+        x = shard_tokens(x)
     cos = jnp.take(rope_cos, positions, axis=0)            # [T, D]
     sin = jnp.take(rope_sin, positions, axis=0)
 

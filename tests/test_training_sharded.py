@@ -64,6 +64,29 @@ def test_tp_sharded_generation_matches_replicated():
     np.testing.assert_array_equal(ref.tokens, out.tokens)
 
 
+def test_lookahead_parallel_axis_matches_replicated():
+    """Sharding the speculative token axis over the 'la' mesh axis (the
+    reference's DIST_WORKERS mode, decoding.py:956-986) must not change
+    outputs."""
+    cfg = small_cfg()
+    params = lt.init_params(cfg, jax.random.PRNGKey(5), scale=0.4)
+    lcfg = lt.LookaheadConfig(level=4, window_size=5, guess_set_size=4,
+                              pool_from_prompt=True)
+    ecfg = lt.EngineConfig(max_seq_len=128, prefill_chunk=16, dtype="float32")
+    prompt = list(np.random.RandomState(4).randint(0, 128, size=12))
+
+    ref = lt.LookaheadEngine(cfg, params, lcfg, ecfg).generate(prompt, 40)
+
+    mesh = make_mesh(tp=4, la=2)
+    sharded = shard_params(params, mesh, cfg)
+    ecfg_la = lt.EngineConfig(max_seq_len=128, prefill_chunk=16,
+                              dtype="float32", tp=4, la=2)
+    eng = lt.LookaheadEngine(cfg, sharded, lcfg, ecfg_la, mesh=mesh)
+    out = eng.generate(prompt, 40)
+    np.testing.assert_array_equal(ref.tokens, out.tokens)
+    assert out.compression_ratio >= 1.0
+
+
 def test_training_reduces_loss():
     cfg = small_cfg()
     params = lt.init_params(cfg, jax.random.PRNGKey(3), scale=0.2)
