@@ -86,6 +86,7 @@ class EngineConfig:
     max_seq_len: int = 2048          # KV cache capacity (prompt + generated + spec)
     prefill_chunk: int = 256         # prefill processed in fixed-size chunks
     dtype: str = "bfloat16"          # activation / weight compute dtype
+    kv_quant: Optional[str] = None   # None | "int8": quantized KV cache
     # Mesh axis sizes; product must equal len(jax.devices()) when used.
     tp: int = 1                      # tensor-parallel axis over ICI
     la: int = 1                      # lookahead-parallel axis (speculative tokens)

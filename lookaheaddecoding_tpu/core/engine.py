@@ -80,6 +80,10 @@ class LookaheadEngine:
         self.mesh = mesh
         if self.ecfg.max_seq_len < self.layout.seq_len + 8:
             raise ValueError("max_seq_len too small for the composite step")
+        if self.ecfg.kv_quant and self.lcfg.attention_impl == "pallas":
+            raise NotImplementedError(
+                "quantized KV with the fused Pallas kernel is not wired up "
+                "yet; use attention_impl='xla' with kv_quant")
 
         fns = build_step_fns(self.mcfg, self.lcfg, self.ecfg, self.layout,
                              mesh=mesh)
@@ -88,6 +92,7 @@ class LookaheadEngine:
         self._loop = jax.jit(fns.decode_loop, donate_argnums=(1,))
         self._step = jax.jit(fns.decode_step, donate_argnums=(1,))
         self._baseline = jax.jit(fns.baseline_loop, donate_argnums=(1,))
+        self._baseline_step = jax.jit(fns.baseline_step, donate_argnums=(1,))
         self._fill_pool = jax.jit(
             fill_pool_with_prompt, static_argnames=("level",))
         self._sample_loops = {}   # top_k -> jitted sampling loop
@@ -106,7 +111,8 @@ class LookaheadEngine:
 
         out_buf = np.zeros((M + self.layout.guess_size,), np.int32)
         out_buf[:P] = prompt
-        k_cache, v_cache = llama.make_kv_cache(self.mcfg, M)
+        k_cache, v_cache = llama.make_kv_cache(
+            self.mcfg, M, quant=self.ecfg.kv_quant)
         pool = pool_init(
             self.mcfg.vocab_size, self.layout.guess_set_size,
             self.layout.guess_size)
@@ -215,16 +221,20 @@ class LookaheadEngine:
         max_new_tokens: int,
         eos_token_id: Optional[int] = None,
         seed: int = 0,
+        lookahead: bool = True,
     ) -> Iterator[np.ndarray]:
         """Streaming mode: yields the newly accepted token ids after every
-        decode step (chat-mode analog). Final yield completes the sequence."""
+        decode step (chat-mode analog; ``lookahead=False`` is the plain
+        streaming greedy loop, reference greedy_search_chat
+        decoding.py:1266-1548)."""
         state = self._prepare(prompt_ids, seed)
         eos = jnp.int32(eos_token_id if eos_token_id is not None else -1)
         max_new = jnp.int32(max_new_tokens)
+        step = self._step if lookahead else self._baseline_step
         init_len = int(state.init_len)
         served = init_len
         while not bool(state.finished):
-            state = self._step(self.params, state, max_new, eos)
+            state = step(self.params, state, max_new, eos)
             n = min(int(state.n_confirmed), init_len + max_new_tokens)
             if n > served:
                 yield np.asarray(state.out_buf[served:n])

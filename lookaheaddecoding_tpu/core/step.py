@@ -43,6 +43,8 @@ class StepFns(NamedTuple):
     sample_loop: Callable     # full sampling generation
     sample_step: Callable
     baseline_loop: Callable   # autoregressive greedy (parity tests, benches)
+    baseline_step: Callable   # single AR step (baseline chat streaming,
+                              # reference greedy_search_chat decoding.py:1266)
 
 
 def build_step_fns(
@@ -250,14 +252,17 @@ def build_step_fns(
             # beyond max_hit are rewritten before ever becoming visible.
             if G > 0:
                 src = kv_len + layout.guess_start + winner * GS
-                L = mcfg.num_hidden_layers
-                Hkv, D = mcfg.num_key_value_heads, mcfg.head_dim
 
                 def commit(cache):
-                    blk = jax.lax.dynamic_slice(
-                        cache, (0, src, 0, 0), (L, GS, Hkv, D))
-                    return jax.lax.dynamic_update_slice(
-                        cache, blk, (0, kv_len + 1, 0, 0))
+                    # generic over plain [L, M, Hkv, D] buffers and
+                    # quantized {"q": [L,M,Hkv,D], "s": [L,M,Hkv,1]} trees
+                    def one(a):
+                        sizes = (a.shape[0], GS) + a.shape[2:]
+                        blk = jax.lax.dynamic_slice(
+                            a, (0, src, 0, 0), sizes)
+                        return jax.lax.dynamic_update_slice(
+                            a, blk, (0, kv_len + 1, 0, 0))
+                    return jax.tree.map(one, cache)
 
                 k_cache = commit(k_cache)
                 v_cache = commit(v_cache)
@@ -350,33 +355,37 @@ def build_step_fns(
     # vanilla greedy loop the reference compares against (minimal.py
     # USE_LADE=0 path).
     # ------------------------------------------------------------------
+    def baseline_step(params, s: DecodeState, max_new, eos_id,
+                      temperature=1.0, top_p=1.0):
+        kv_len = s.kv_len
+        lst = s.out_buf[s.n_confirmed - 1]
+        mask = jnp.where(col_ids[None, :] <= kv_len, 0.0, NEG_INF)
+        logits, k_cache, v_cache = llama.forward(
+            params, mcfg, lst[None], kv_len[None] + 0, s.k_cache,
+            s.v_cache, kv_len, mask, rope_cos, rope_sin,
+        )
+        nxt = jnp.argmax(logits[0]).astype(jnp.int32)
+        out_buf = jax.lax.dynamic_update_slice(
+            s.out_buf, nxt[None], (s.n_confirmed,))
+        n_confirmed = s.n_confirmed + 1
+        finished = (
+            s.finished
+            | (nxt == eos_id)
+            | (n_confirmed - s.init_len >= max_new)
+            | (kv_len + 2 > M)
+        )
+        return s._replace(
+            k_cache=k_cache, v_cache=v_cache, kv_len=kv_len + 1,
+            out_buf=out_buf, n_confirmed=n_confirmed,
+            step_idx=s.step_idx + 1, finished=finished,
+        )
+
     def baseline_loop(params, state: DecodeState, max_new, eos_id):
         def cond(s):
             return ~s.finished
 
-        def body(s: DecodeState):
-            kv_len = s.kv_len
-            lst = s.out_buf[s.n_confirmed - 1]
-            mask = jnp.where(col_ids[None, :] <= kv_len, 0.0, NEG_INF)
-            logits, k_cache, v_cache = llama.forward(
-                params, mcfg, lst[None], kv_len[None] + 0, s.k_cache,
-                s.v_cache, kv_len, mask, rope_cos, rope_sin,
-            )
-            nxt = jnp.argmax(logits[0]).astype(jnp.int32)
-            out_buf = jax.lax.dynamic_update_slice(
-                s.out_buf, nxt[None], (s.n_confirmed,))
-            n_confirmed = s.n_confirmed + 1
-            finished = (
-                s.finished
-                | (nxt == eos_id)
-                | (n_confirmed - s.init_len >= max_new)
-                | (kv_len + 2 > M)
-            )
-            return s._replace(
-                k_cache=k_cache, v_cache=v_cache, kv_len=kv_len + 1,
-                out_buf=out_buf, n_confirmed=n_confirmed,
-                step_idx=s.step_idx + 1, finished=finished,
-            )
+        def body(s):
+            return baseline_step(params, s, max_new, eos_id)
 
         return jax.lax.while_loop(cond, body, state)
 
@@ -388,4 +397,5 @@ def build_step_fns(
         sample_loop=_loop(sample_step),
         sample_step=sample_step,
         baseline_loop=baseline_loop,
+        baseline_step=baseline_step,
     )

@@ -182,12 +182,19 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
 
 def attention_xla(
     q: jax.Array,          # [T, Hq, D]
-    k: jax.Array,          # [M, Hkv, D] (full cache buffer, updated)
-    v: jax.Array,          # [M, Hkv, D]
+    k,                     # [M, Hkv, D] array, or quantized {"q", "s"}
+    v,                     # same
     mask: jax.Array,       # [T, M] additive fp32 (0 or -inf)
 ) -> jax.Array:
     """Dense masked attention over the whole cache buffer. fp32 logits and
-    softmax. GQA handled by reshaping q to [Hkv, rep, T, D]."""
+    softmax. GQA handled by reshaping q to [Hkv, rep, T, D].
+
+    Quantized KV: per-slot-per-head scales are factored OUT of the dots —
+    ``scores = (q . k_int) * s_k[m]`` and ``out = (probs * s_v[m]) . v_int``
+    — so the int8 buffers feed the MXU directly and no dequantized copy of
+    the cache is ever materialized."""
+    k, ks = (k["q"], k["s"]) if isinstance(k, dict) else (k, None)
+    v, vs = (v["q"], v["s"]) if isinstance(v, dict) else (v, None)
     t, hq, d = q.shape
     m, hkv, _ = k.shape
     rep = hq // hkv
@@ -196,13 +203,34 @@ def attention_xla(
     scores = jnp.einsum(
         "gtd,gdm->gtm", qf, kf, preferred_element_type=jnp.float32
     ) / math.sqrt(d)
+    if ks is not None:
+        scores = scores * ks[:, :, 0].T[:, None, :]        # [Hkv, 1, M]
     scores = scores.reshape(hkv, rep, t, m) + mask[None, None, :, :]
     probs = jax.nn.softmax(scores, axis=-1)
+    if vs is not None:
+        probs = probs * vs[:, :, 0].T[:, None, None, :]    # [Hkv, 1, 1, M]
     vf = v.astype(jnp.float32).transpose(1, 0, 2)          # [Hkv, M, D]
     out = jnp.einsum(
         "grtm,gmd->grtd", probs, vf, preferred_element_type=jnp.float32
     )
     return out.transpose(2, 0, 1, 3).reshape(t, hq * d)
+
+
+def kv_cache_write(cache, new: jax.Array, start) :
+    """Write [T, Hkv, D] values at cache slots [start, start+T). Plain bf16
+    buffers use a dynamic_update_slice; quantized buffers quantize
+    per-slot-per-head (symmetric int8) and update values + scales."""
+    if not isinstance(cache, dict):
+        return jax.lax.dynamic_update_slice(cache, new, (start, 0, 0))
+    nf = new.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(nf), axis=-1, keepdims=True)    # [T, Hkv, 1]
+    s = jnp.maximum(amax / 127.0, 1e-8)
+    qv = jnp.clip(jnp.round(nf / s), -127, 127).astype(jnp.int8)
+    return {
+        "q": jax.lax.dynamic_update_slice(cache["q"], qv, (start, 0, 0)),
+        "s": jax.lax.dynamic_update_slice(
+            cache["s"], s.astype(jnp.float32), (start, 0, 0)),
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -256,8 +284,8 @@ def forward(
         vv = qmatmul(y, p["wv"]).reshape(t, hkv, d)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        kc = jax.lax.dynamic_update_slice(kc, k, (write_start, 0, 0))
-        vc = jax.lax.dynamic_update_slice(vc, vv, (write_start, 0, 0))
+        kc = kv_cache_write(kc, k, write_start)
+        vc = kv_cache_write(vc, vv, write_start)
         if attn_impl == "pallas":
             from ..ops.lookahead_attention import lookahead_attention
             attn = lookahead_attention(
@@ -348,6 +376,16 @@ def forward_train(
 NEG_INF_F32 = jnp.float32(-1e30)
 
 
-def make_kv_cache(cfg: LlamaConfig, max_seq: int) -> Tuple[jax.Array, jax.Array]:
+def make_kv_cache(cfg: LlamaConfig, max_seq: int, quant: Optional[str] = None):
+    """Preallocated cache buffers; ``quant="int8"`` stores values as int8
+    with per-slot-per-head fp32 scales (half/quarter the decode-time HBM
+    traffic of the bf16 cache as context grows)."""
     shape = (cfg.num_hidden_layers, max_seq, cfg.num_key_value_heads, cfg.head_dim)
-    return jnp.zeros(shape, cfg.dtype), jnp.zeros(shape, cfg.dtype)
+    if quant is None:
+        return jnp.zeros(shape, cfg.dtype), jnp.zeros(shape, cfg.dtype)
+    if quant != "int8":
+        raise ValueError(f"unsupported kv quantization: {quant}")
+    sshape = shape[:-1] + (1,)
+    mk = lambda: {"q": jnp.zeros(shape, jnp.int8),
+                  "s": jnp.full(sshape, 1e-8, jnp.float32)}
+    return mk(), mk()

@@ -70,6 +70,16 @@ def test_streaming_matches_oneshot():
     np.testing.assert_array_equal(streamed, oneshot.new_tokens)
 
 
+def test_baseline_streaming_matches_baseline():
+    # reference greedy_search_chat analog: plain AR loop with streaming
+    eng = tiny_engine()
+    prompt = list(np.random.RandomState(2).randint(0, 128, size=10))
+    base = eng.generate_baseline(prompt, 30)
+    chunks = list(eng.generate_stream(prompt, 30, lookahead=False))
+    assert all(len(c) == 1 for c in chunks)     # one token per AR step
+    np.testing.assert_array_equal(np.concatenate(chunks), base.new_tokens)
+
+
 def test_prompt_of_length_one():
     eng = tiny_engine()
     base = eng.generate_baseline([5], 32)

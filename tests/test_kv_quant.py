@@ -1,0 +1,71 @@
+"""Quantized KV-cache tests: the int8 cache with speculative commit must
+keep the lookahead/baseline exactness contract at fixed quantization
+(BASELINE.json: quantized paged KV-cache with speculative rollback/append)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import lookaheaddecoding_tpu as lt
+from lookaheaddecoding_tpu.models import llama
+
+
+def tiny(kv_quant=None, dtype=jnp.float32):
+    mcfg = lt.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=512, dtype=dtype)
+    params = lt.init_params(mcfg, jax.random.PRNGKey(0), scale=0.5)
+    eng = lt.LookaheadEngine(
+        mcfg, params,
+        lt.LookaheadConfig(level=4, window_size=5, guess_set_size=4,
+                           pool_from_prompt=True),
+        lt.EngineConfig(max_seq_len=256, prefill_chunk=16, dtype="float32",
+                        kv_quant=kv_quant))
+    return eng, mcfg, params
+
+
+def test_int8_kv_lookahead_token_exact_vs_int8_kv_baseline():
+    eng, _, _ = tiny(kv_quant="int8")
+    prompt = list(np.random.RandomState(0).randint(0, 128, size=16))
+    base = eng.generate_baseline(prompt, 48)
+    lade = eng.generate(prompt, 48)
+    np.testing.assert_array_equal(base.tokens, lade.tokens)
+    assert lade.steps <= base.steps
+
+
+def test_int8_kv_output_tracks_fp_kv():
+    eng_q, _, _ = tiny(kv_quant="int8")
+    eng_f, _, _ = tiny(kv_quant=None)
+    prompt = list(np.random.RandomState(1).randint(0, 128, size=16))
+    a = eng_q.generate_baseline(prompt, 24)
+    b = eng_f.generate_baseline(prompt, 24)
+    # int8 KV is lossy; on a random tiny model outputs drift but early
+    # tokens should agree
+    assert np.array_equal(a.tokens[:18], b.tokens[:18])
+
+
+def test_quantized_write_roundtrip_error_bounded():
+    cache = {"q": jnp.zeros((8, 2, 4), jnp.int8),
+             "s": jnp.full((8, 2, 1), 1e-8, jnp.float32)}
+    new = jnp.asarray(np.random.RandomState(2).randn(3, 2, 4), jnp.float32)
+    out = llama.kv_cache_write(cache, new, jnp.int32(2))
+    deq = np.asarray(out["q"][2:5], np.float32) * np.asarray(out["s"][2:5])
+    scale = np.asarray(out["s"][2:5])
+    assert np.all(np.abs(deq - np.asarray(new)) <= scale / 2 + 1e-6)
+    assert np.all(np.asarray(out["q"][:2]) == 0)   # untouched slots
+
+
+def test_pallas_plus_kv_quant_rejected():
+    mcfg = lt.LlamaConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=1, num_attention_heads=4, num_key_value_heads=2,
+        dtype=jnp.float32)
+    params = lt.init_params(mcfg, jax.random.PRNGKey(0))
+    with pytest.raises(NotImplementedError):
+        lt.LookaheadEngine(
+            mcfg, params,
+            lt.LookaheadConfig(level=4, window_size=5, guess_set_size=4,
+                               attention_impl="pallas"),
+            lt.EngineConfig(max_seq_len=128, kv_quant="int8"))
