@@ -29,7 +29,7 @@ import numpy as np
 from ..config import EngineConfig, LookaheadConfig
 from ..models import llama
 from .layout import Layout, build_layout
-from .pool import fill_pool_with_prompt, pool_init
+from .pool import pool_init
 from .state import DecodeState
 from .step import build_step_fns
 
@@ -93,8 +93,8 @@ class LookaheadEngine:
         self._step = jax.jit(fns.decode_step, donate_argnums=(1,))
         self._baseline = jax.jit(fns.baseline_loop, donate_argnums=(1,))
         self._baseline_step = jax.jit(fns.baseline_step, donate_argnums=(1,))
-        self._fill_pool = jax.jit(
-            fill_pool_with_prompt, static_argnames=("level",))
+        from .pool import apply_host_fill
+        self._apply_fill = jax.jit(apply_host_fill, donate_argnums=(0,))
         self._sample_loops = {}   # top_k -> jitted sampling loop
 
     # ------------------------------------------------------------------
@@ -121,9 +121,11 @@ class LookaheadEngine:
             jnp.int32(P), jax.random.PRNGKey(seed),
         )
         if self.lcfg.pool_from_prompt:
-            state = state._replace(pool=self._fill_pool(
-                state.pool, state.out_buf, state.init_len,
-                level=self.lcfg.level))
+            from .pool import host_prompt_fill
+            fill = host_prompt_fill(
+                prompt, self.lcfg.level, self.layout.guess_set_size,
+                pad_to=M)
+            state = state._replace(pool=self._apply_fill(state.pool, *fill))
 
         # Chunked prefill of prompt[:-1]; the last prompt token rides in the
         # first composite step's lst slot.

@@ -117,6 +117,63 @@ def pool_lookup(pool: PoolState, key: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return pool.values[key], pool.age[key] > 0
 
 
+def host_prompt_fill(prompt_tokens, level: int, guess_set_size: int,
+                     pad_to: int):
+    """Host-side computation of the prompt-seeded pool rows (reference
+    fill_pool_with_prompt semantics, decoding.py:104-127: in-order LRU with
+    dedupe-refresh and a G cap per key). The prompt is host data at prepare
+    time, so the sequential dict walk runs in Python and the result is
+    uploaded with ONE padded scatter (`apply_host_fill`) instead of a
+    thousand-lane sequential device loop.
+
+    Returns (keys [pad_to], rows [pad_to, G, GS], ages [pad_to, G], clock).
+    Unused lanes carry key == -1 (callers redirect them to the trash row).
+    """
+    import numpy as np
+    gs = level - 1
+    g = guess_set_size
+    toks = [int(t) for t in prompt_tokens]
+    table = {}
+    clock = 1
+    for i in range(len(toks) - gs):
+        key = toks[i]
+        tup = tuple(toks[i + 1:i + 1 + gs])
+        ent = table.setdefault(key, [])
+        for j, (t2, _) in enumerate(ent):
+            if t2 == tup:
+                del ent[j]
+                break
+        else:
+            if len(ent) == g:
+                ent.pop(0)
+        ent.append((tup, clock))
+        clock += 1
+
+    keys = np.full((pad_to,), -1, np.int32)
+    rows = np.zeros((pad_to, g, gs), np.int32)
+    ages = np.zeros((pad_to, g), np.int32)
+    for u, (key, ent) in enumerate(table.items()):
+        if u >= pad_to:
+            break
+        keys[u] = key
+        for slot, (tup, age) in enumerate(ent):
+            rows[u, slot] = tup
+            ages[u, slot] = age
+    return keys, rows, ages, clock
+
+
+def apply_host_fill(pool: PoolState, keys, rows, ages, clock) -> PoolState:
+    """One batched scatter of host-computed fill rows (jit-friendly; lanes
+    with key == -1 go to the trash row)."""
+    trash_row = pool.values.shape[0] - 1
+    keys = jnp.where(keys < 0, trash_row, keys)
+    return PoolState(
+        values=pool.values.at[keys].set(rows),
+        age=pool.age.at[keys].set(ages),
+        clock=jnp.int32(clock),
+    )
+
+
 def fill_pool_with_prompt(
     pool: PoolState, prompt: jax.Array, prompt_len: jax.Array, level: int
 ) -> PoolState:

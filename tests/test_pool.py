@@ -60,6 +60,35 @@ def test_invalid_lanes_are_noops():
     assert entries(pool, 5) == {(1, 1)}
 
 
+def test_host_fill_matches_device_fill():
+    """The host-computed prompt fill (engine fast path) must agree with the
+    traced fill_pool_with_prompt on keys, tuples and LRU ages."""
+    from lookaheaddecoding_tpu.core.pool import apply_host_fill, host_prompt_fill
+    rng = np.random.RandomState(0)
+    prompt = rng.randint(0, 10, size=40)          # small vocab -> collisions
+    level, g = 4, 3
+    buf = np.zeros(64, np.int32)
+    buf[:len(prompt)] = prompt
+
+    dev = pool_init(10, g, level - 1)
+    dev = fill_pool_with_prompt(dev, jnp.asarray(buf),
+                                jnp.int32(len(prompt)), level)
+    host = pool_init(10, g, level - 1)
+    host = apply_host_fill(
+        host, *host_prompt_fill(prompt, level, g, pad_to=64))
+    # clocks differ (the device loop advances time for invalid lanes too);
+    # what matters is content + relative LRU order per key
+    assert int(host.clock) <= int(dev.clock)
+    for key in range(10):
+        assert entries(dev, key) == entries(host, key), f"key {key}"
+        # ages must induce the same LRU order
+        da, ha = np.asarray(dev.age[key]), np.asarray(host.age[key])
+        dv, hv = np.asarray(dev.values[key]), np.asarray(host.values[key])
+        dorder = [tuple(dv[i]) for i in np.argsort(da) if da[i] > 0]
+        horder = [tuple(hv[i]) for i in np.argsort(ha) if ha[i] > 0]
+        assert dorder == horder, f"LRU order differs for key {key}"
+
+
 def test_fill_pool_with_prompt_matches_reference_ngrams():
     # reference fill_pool_with_prompt (decoding.py:104-127): every start idx
     # contributes key=prompt[i], tup=prompt[i+1:i+LEVEL]
