@@ -34,6 +34,24 @@ from .state import DecodeState
 from .step import build_step_fns
 
 
+
+
+MAX_EOS_IDS = 4
+
+
+def _eos_vec(eos_token_id):
+    """Fixed-width EOS id vector (pad -1). The reference accepts an int or a
+    list (decoding.py:820-822); any listed id stops generation."""
+    if eos_token_id is None:
+        ids = []
+    elif isinstance(eos_token_id, (int, np.integer)):
+        ids = [int(eos_token_id)]
+    else:
+        ids = [int(i) for i in eos_token_id][:MAX_EOS_IDS]
+    v = np.full((MAX_EOS_IDS,), -1, np.int32)
+    v[: len(ids)] = ids
+    return jnp.asarray(v)
+
 @dataclasses.dataclass
 class GenerationResult:
     """Output of one generate call plus the reference's acceleration
@@ -168,7 +186,7 @@ class LookaheadEngine:
         jacobi_greedy_search_multilevel, decoding.py:697-1259)."""
         t0 = time.perf_counter()
         state = self._prepare(prompt_ids, seed)
-        eos = jnp.int32(eos_token_id if eos_token_id is not None else -1)
+        eos = _eos_vec(eos_token_id)
         state = self._loop(self.params, state, jnp.int32(max_new_tokens), eos)
         state = jax.block_until_ready(state)
         return self._finalize(state, max_new_tokens, t0)
@@ -194,7 +212,7 @@ class LookaheadEngine:
             loop = jax.jit(fns.sample_loop, donate_argnums=(1,))
             self._sample_loops[sampling.top_k] = loop
         state = self._prepare(prompt_ids, seed)
-        eos = jnp.int32(eos_token_id if eos_token_id is not None else -1)
+        eos = _eos_vec(eos_token_id)
         state = loop(
             self.params, state, jnp.int32(max_new_tokens), eos,
             jnp.float32(sampling.temperature), jnp.float32(sampling.top_p))
@@ -212,7 +230,7 @@ class LookaheadEngine:
         machinery — the comparison target for exactness and speedup."""
         t0 = time.perf_counter()
         state = self._prepare(prompt_ids, seed)
-        eos = jnp.int32(eos_token_id if eos_token_id is not None else -1)
+        eos = _eos_vec(eos_token_id)
         state = self._baseline(self.params, state, jnp.int32(max_new_tokens), eos)
         state = jax.block_until_ready(state)
         return self._finalize(state, max_new_tokens, t0)
@@ -230,7 +248,7 @@ class LookaheadEngine:
         streaming greedy loop, reference greedy_search_chat
         decoding.py:1266-1548)."""
         state = self._prepare(prompt_ids, seed)
-        eos = jnp.int32(eos_token_id if eos_token_id is not None else -1)
+        eos = _eos_vec(eos_token_id)
         max_new = jnp.int32(max_new_tokens)
         step = self._step if lookahead else self._baseline_step
         init_len = int(state.init_len)

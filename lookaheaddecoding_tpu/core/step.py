@@ -239,9 +239,14 @@ def build_step_fns(
                     max_hit = jnp.int32(0)
                     winner = jnp.int32(0)
 
-            # ---- EOS truncation (reference decoding.py:1167-1173)
+            # ---- EOS truncation (reference decoding.py:1167-1173).
+            # ``eos_id`` is a [N_EOS] vector (pad slots = -1): any listed id
+            # truncates. (The reference checks only eos_token_id[0] in the
+            # hits walk while tracking all ids for loop exit — we apply all
+            # ids consistently.)
             hit_pos = jnp.arange(GS, dtype=jnp.int32)
-            is_eos = (hits == eos_id) & (hit_pos <= max_hit)
+            is_eos = jnp.any(
+                hits[:, None] == eos_id[None, :], axis=1) & (hit_pos <= max_hit)
             has_eos = jnp.any(is_eos)
             max_hit = jnp.where(
                 has_eos, jnp.argmax(is_eos).astype(jnp.int32), max_hit)
@@ -308,8 +313,9 @@ def build_step_fns(
                 # random copy from the confirmed tokens (``copy_from``).
                 rng, k_filt = jax.random.split(rng)
                 ridx = jax.random.randint(k_filt, (W,), 0, n_confirmed)
-                new_results = jnp.where(
-                    new_results == eos_id, out_buf[ridx], new_results)
+                hit_eos = jnp.any(
+                    new_results[:, None] == eos_id[None, :], axis=1)
+                new_results = jnp.where(hit_eos, out_buf[ridx], new_results)
             window = jnp.concatenate([state.window[W:], new_results])
 
             finished = (
@@ -370,7 +376,7 @@ def build_step_fns(
         n_confirmed = s.n_confirmed + 1
         finished = (
             s.finished
-            | (nxt == eos_id)
+            | jnp.any(nxt == eos_id)
             | (n_confirmed - s.init_len >= max_new)
             | (kv_len + 2 > M)
         )

@@ -80,6 +80,17 @@ def test_baseline_streaming_matches_baseline():
     np.testing.assert_array_equal(np.concatenate(chunks), base.new_tokens)
 
 
+def test_multiple_eos_ids():
+    eng = tiny_engine()
+    prompt = list(np.random.RandomState(0).randint(0, 128, size=12))
+    free = eng.generate(prompt, 80)
+    gen = free.new_tokens
+    eos_a, eos_b = int(gen[20]), int(gen[9])
+    first = min(int(np.argmax(gen == eos_a)), int(np.argmax(gen == eos_b)))
+    r = eng.generate(prompt, 80, eos_token_id=[eos_a, eos_b])
+    np.testing.assert_array_equal(r.new_tokens, gen[:first + 1])
+
+
 def test_prompt_of_length_one():
     eng = tiny_engine()
     base = eng.generate_baseline([5], 32)
