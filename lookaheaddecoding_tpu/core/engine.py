@@ -98,6 +98,12 @@ class LookaheadEngine:
         self.mesh = mesh
         if self.ecfg.max_seq_len < self.layout.seq_len + 8:
             raise ValueError("max_seq_len too small for the composite step")
+        if (self.mcfg.sliding_window is not None
+                and self.ecfg.max_seq_len > self.mcfg.sliding_window):
+            raise NotImplementedError(
+                "max_seq_len exceeds the model's sliding window; contexts "
+                "within the window are exact full attention — reduce "
+                "max_seq_len or extend the mask builder")
         if self.ecfg.kv_quant and self.lcfg.attention_impl == "pallas":
             raise NotImplementedError(
                 "quantized KV with the fused Pallas kernel is not wired up "
@@ -114,6 +120,9 @@ class LookaheadEngine:
         from .pool import apply_host_fill
         self._apply_fill = jax.jit(apply_host_fill, donate_argnums=(0,))
         self._sample_loops = {}   # top_k -> jitted sampling loop
+        self._vloop = jax.jit(
+            jax.vmap(fns.decode_loop, in_axes=(None, 0, None, None)),
+            donate_argnums=(1,))
 
     # ------------------------------------------------------------------
     def _prepare(self, prompt_ids: Sequence[int], seed: int) -> DecodeState:
@@ -218,6 +227,35 @@ class LookaheadEngine:
             jnp.float32(sampling.temperature), jnp.float32(sampling.top_p))
         state = jax.block_until_ready(state)
         return self._finalize(state, max_new_tokens, t0)
+
+    def generate_batch(
+        self,
+        prompts: Sequence[Sequence[int]],
+        max_new_tokens: int,
+        eos_token_id=None,
+        seed: int = 0,
+    ) -> list:
+        """Batched greedy lookahead decoding: every request runs the full
+        per-sequence lookahead machinery (own window, pool, KV cache) under
+        one vmapped ``lax.while_loop``; lanes no-op once finished. The
+        reference asserts batch==1 (modeling_llama.py:1448) — this is a
+        capability beyond it, and the stepping stone to continuous batching.
+        """
+        t0 = time.perf_counter()
+        states = [self._prepare(p, seed + i) for i, p in enumerate(prompts)]
+        batched = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+        eos = _eos_vec(eos_token_id)
+        batched = self._vloop(
+            self.params, batched, jnp.int32(max_new_tokens), eos)
+        batched = jax.block_until_ready(batched)
+        out = []
+        wall = time.perf_counter() - t0
+        for i in range(len(prompts)):
+            lane = jax.tree.map(lambda x: x[i], batched)
+            res = self._finalize(lane, max_new_tokens, t0)
+            res.wall_time_s = wall
+            out.append(res)
+        return out
 
     def generate_baseline(
         self,

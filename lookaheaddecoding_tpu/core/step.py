@@ -325,7 +325,7 @@ def build_step_fns(
                 | (new_kv_len + S > M)      # cache capacity safety stop
             )
 
-            return DecodeState(
+            new_state = DecodeState(
                 k_cache=k_cache,
                 v_cache=v_cache,
                 kv_len=new_kv_len,
@@ -338,6 +338,11 @@ def build_step_fns(
                 finished=finished,
                 rng=rng,
             )
+            # No-op once finished: required for batched (vmapped) decoding,
+            # where the while_loop keeps executing until every lane is done.
+            # (cond -> runtime branch single-sequence, select under vmap.)
+            return jax.lax.cond(
+                state.finished, lambda: state, lambda: new_state)
 
         return decode_step
 
@@ -380,11 +385,12 @@ def build_step_fns(
             | (n_confirmed - s.init_len >= max_new)
             | (kv_len + 2 > M)
         )
-        return s._replace(
+        new_state = s._replace(
             k_cache=k_cache, v_cache=v_cache, kv_len=kv_len + 1,
             out_buf=out_buf, n_confirmed=n_confirmed,
             step_idx=s.step_idx + 1, finished=finished,
         )
+        return jax.lax.cond(s.finished, lambda: s, lambda: new_state)
 
     def baseline_loop(params, state: DecodeState, max_new, eos_id):
         def cond(s):

@@ -47,13 +47,19 @@ def convert_hf_state_dict(state: Dict[str, "np.ndarray"], cfg: LlamaConfig) -> D
         },
         "final_norm": jnp.asarray(get("model.norm.weight"), dtype=cfg.dtype),
     }
+    if cfg.attention_bias:
+        # Qwen2-style qkv biases (same HF key naming)
+        params["layers"]["bq"] = stack("model.layers.{}.self_attn.q_proj.bias")
+        params["layers"]["bk"] = stack("model.layers.{}.self_attn.k_proj.bias")
+        params["layers"]["bv"] = stack("model.layers.{}.self_attn.v_proj.bias")
     if not cfg.tie_word_embeddings:
         params["lm_head"] = jnp.asarray(get("lm_head.weight").T, dtype=cfg.dtype)
     return params
 
 
 def convert_hf_model(hf_model, dtype=jnp.bfloat16):
-    """Convert a live ``transformers`` LlamaForCausalLM (torch, CPU).
+    """Convert a live ``transformers`` causal-LM with the LLaMA layer naming
+    (LlamaForCausalLM, MistralForCausalLM, Qwen2ForCausalLM share it).
 
     Returns (LlamaConfig, params pytree). Torch is imported lazily so the
     engine has no torch dependency.

@@ -49,6 +49,12 @@ class LlamaConfig:
     # (reference modeling_llama.py:269-318)
     rope_scaling: Optional[Tuple[str, float]] = None
     tie_word_embeddings: bool = False
+    # qkv projection biases (Qwen2-style checkpoints; plain LLaMA has none)
+    attention_bias: bool = False
+    # Mistral/Qwen2 sliding-window attention width (None = full attention).
+    # Contexts shorter than the window are exactly full attention; the
+    # engine enforces max_seq_len <= sliding_window.
+    sliding_window: Optional[int] = None
     dtype: Any = jnp.bfloat16
 
     @property
@@ -76,6 +82,10 @@ class LlamaConfig:
             max_position_embeddings=hf_config.max_position_embeddings,
             rope_scaling=scaling,
             tie_word_embeddings=getattr(hf_config, "tie_word_embeddings", False),
+            attention_bias=bool(
+                getattr(hf_config, "attention_bias", False)
+                or getattr(hf_config, "model_type", "") == "qwen2"),
+            sliding_window=getattr(hf_config, "sliding_window", None),
             dtype=dtype,
         )
 
@@ -127,6 +137,10 @@ def init_params(cfg: LlamaConfig, key: jax.Array, scale: float = 0.02) -> Dict:
         },
         "final_norm": jnp.ones((h,), cfg.dtype),
     }
+    if cfg.attention_bias:
+        params["layers"]["bq"] = jnp.zeros((L, hq * d), cfg.dtype)
+        params["layers"]["bk"] = jnp.zeros((L, hkv * d), cfg.dtype)
+        params["layers"]["bv"] = jnp.zeros((L, hkv * d), cfg.dtype)
     if not cfg.tie_word_embeddings:
         params["lm_head"] = nrm(ks[8], (h, V))
     return params
@@ -279,9 +293,14 @@ def forward(
     def layer_fn(x, scanned):
         p, kc, vc = scanned
         y = rms_norm(x, p["input_norm"], cfg.rms_norm_eps)
-        q = qmatmul(y, p["wq"]).reshape(t, hq, d)
-        k = qmatmul(y, p["wk"]).reshape(t, hkv, d)
-        vv = qmatmul(y, p["wv"]).reshape(t, hkv, d)
+        q = qmatmul(y, p["wq"])
+        k = qmatmul(y, p["wk"])
+        vv = qmatmul(y, p["wv"])
+        if cfg.attention_bias:
+            q, k, vv = q + p["bq"], k + p["bk"], vv + p["bv"]
+        q = q.reshape(t, hq, d)
+        k = k.reshape(t, hkv, d)
+        vv = vv.reshape(t, hkv, d)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         kc = kv_cache_write(kc, k, write_start)

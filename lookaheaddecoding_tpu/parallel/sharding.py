@@ -36,6 +36,22 @@ def make_mesh(dp: int = 1, tp: int = 1, la: int = 1,
     return Mesh(arr, ("dp", "la", "tp"))
 
 
+def make_multihost_mesh(dp_hosts: int = 1, tp: int = 1, la: int = 1) -> Mesh:
+    """Pod-slice mesh: request/data parallelism rides the slow DCN axis
+    between hosts while tp/la collectives stay on intra-slice ICI (the
+    standard TPU layout; replaces the reference's per-GPU NCCL process
+    groups, lade_distributed.py + utils.py:28-33). Requires a multi-host
+    JAX runtime (jax.process_count() > 1)."""
+    from jax.experimental import mesh_utils
+
+    per_host = tp * la
+    devs = mesh_utils.create_hybrid_device_mesh(
+        mesh_shape=(1, la, tp),
+        dcn_mesh_shape=(dp_hosts, 1, 1),
+    )
+    return Mesh(devs, ("dp", "la", "tp"))
+
+
 def param_specs(cfg: LlamaConfig) -> Dict:
     """Megatron-style tensor-parallel layout over the ``tp`` axis:
     column-parallel QKV/gate/up (output features sharded), row-parallel

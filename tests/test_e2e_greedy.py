@@ -98,6 +98,24 @@ def test_prompt_of_length_one():
     np.testing.assert_array_equal(base.tokens, lade.tokens)
 
 
+def test_batched_generation_matches_individual():
+    """Batched decode (vmapped loop, beyond the reference's batch==1
+    assert) must reproduce each sequence's individual output, including
+    lanes that finish at different times (EOS vs max_new)."""
+    eng = tiny_engine()
+    rng = np.random.RandomState(7)
+    prompts = [list(rng.randint(0, 128, size=n)) for n in (10, 14, 8)]
+    singles = [eng.generate(p, 30, seed=i) for i, p in enumerate(prompts)]
+    # give lane 1 an early EOS so lanes finish at different steps
+    eos = int(singles[1].new_tokens[5])
+    singles = [eng.generate(p, 30, eos_token_id=eos, seed=i)
+               for i, p in enumerate(prompts)]
+    batch = eng.generate_batch(prompts, 30, eos_token_id=eos)
+    assert len(batch) == 3
+    for s, b in zip(singles, batch):
+        np.testing.assert_array_equal(s.tokens, b.tokens)
+
+
 def test_max_new_trims_overshoot():
     eng = tiny_engine()
     prompt = list(np.random.RandomState(3).randint(0, 128, size=10))

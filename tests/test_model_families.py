@@ -1,0 +1,84 @@
+"""Model-family coverage beyond plain LLaMA: Mistral and Qwen2 checkpoints
+share the LLaMA layer naming (Qwen2 adds qkv biases; Mistral adds a sliding
+window that is exact full attention for contexts within it)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import lookaheaddecoding_tpu as lt
+from lookaheaddecoding_tpu.models import llama
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+NEG = float("-inf")
+
+
+def jax_logits(mcfg, params, tokens, max_seq=64):
+    T = len(tokens)
+    kc, vc = llama.make_kv_cache(mcfg, max_seq)
+    cos, sin = llama.rope_tables(mcfg, max_seq)
+    col = jnp.arange(max_seq)
+    pos = jnp.arange(T, dtype=jnp.int32)
+    mask = jnp.where(col[None, :] <= pos[:, None], 0.0, NEG)
+    logits, _, _ = llama.forward(
+        params, mcfg, jnp.asarray(tokens, jnp.int32), pos, kc, vc,
+        jnp.int32(0), mask, cos, sin)
+    return np.asarray(logits)
+
+
+def check_parity(hf, tokens):
+    mcfg, params = lt.convert_hf_model(hf, dtype=jnp.float32)
+    with torch.no_grad():
+        ref = hf(torch.tensor(tokens)[None]).logits[0].numpy()
+    mine = jax_logits(mcfg, params, tokens)
+    np.testing.assert_allclose(mine, ref, atol=3e-4, rtol=3e-3)
+    return mcfg, params
+
+
+def test_qwen2_parity_and_generation():
+    cfg = transformers.Qwen2Config(
+        vocab_size=96, hidden_size=64, intermediate_size=112,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, attn_implementation="eager")
+    torch.manual_seed(1)
+    hf = transformers.Qwen2ForCausalLM(cfg).eval()
+    tokens = np.random.RandomState(0).randint(0, 96, size=13)
+    mcfg, params = check_parity(hf, tokens)
+    assert mcfg.attention_bias
+
+    eng = lt.LookaheadEngine(
+        mcfg, params,
+        lt.LookaheadConfig(level=4, window_size=5, guess_set_size=4),
+        lt.EngineConfig(max_seq_len=128, prefill_chunk=16, dtype="float32"))
+    base = eng.generate_baseline(list(tokens), 24)
+    lade = eng.generate(list(tokens), 24)
+    np.testing.assert_array_equal(base.tokens, lade.tokens)
+
+
+def test_mistral_parity():
+    cfg = transformers.MistralConfig(
+        vocab_size=96, hidden_size=64, intermediate_size=112,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, sliding_window=4096,
+        attn_implementation="eager")
+    torch.manual_seed(2)
+    hf = transformers.MistralForCausalLM(cfg).eval()
+    tokens = np.random.RandomState(1).randint(0, 96, size=11)
+    mcfg, _ = check_parity(hf, tokens)
+    assert mcfg.sliding_window == 4096
+
+
+def test_sliding_window_guard():
+    mcfg = lt.LlamaConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=1, num_attention_heads=4, num_key_value_heads=2,
+        sliding_window=128, dtype=jnp.float32)
+    params = lt.init_params(mcfg, jax.random.PRNGKey(0))
+    with pytest.raises(NotImplementedError):
+        lt.LookaheadEngine(
+            mcfg, params,
+            lt.LookaheadConfig(level=4, window_size=5, guess_set_size=4),
+            lt.EngineConfig(max_seq_len=256))
