@@ -61,6 +61,7 @@ class GenerationResult:
     prompt_len: int
     steps: int
     wall_time_s: float = 0.0
+    request_id: object = None   # set by the continuous-batching scheduler
 
     @property
     def new_tokens(self) -> np.ndarray:
@@ -111,6 +112,7 @@ class LookaheadEngine:
 
         fns = build_step_fns(self.mcfg, self.lcfg, self.ecfg, self.layout,
                              mesh=mesh)
+        self._fns = fns
         self._init_state = jax.jit(fns.init_state, donate_argnums=(0, 1, 3))
         self._prefill = jax.jit(fns.prefill_chunk, donate_argnums=(1,))
         self._loop = jax.jit(fns.decode_loop, donate_argnums=(1,))

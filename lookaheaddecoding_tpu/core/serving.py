@@ -1,0 +1,132 @@
+"""Continuous batching on top of the lookahead engine.
+
+The reference is strictly one sequence at a time (batch==1 asserted,
+reference modeling_llama.py:1448; its evals shard *questions* across GPU
+processes instead, eval_mtbench.py:51-57). Here a slot scheduler keeps a
+fixed number of decode lanes busy: each lane runs the full per-sequence
+lookahead machinery (window, pool, KV cache) inside one vmapped jitted step;
+finished lanes are refilled with queued requests between steps. The only
+per-step host traffic is the finished-flag readback that drives scheduling.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from collections import deque
+from typing import Deque, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .engine import GenerationResult, LookaheadEngine, _eos_vec
+
+
+@dataclasses.dataclass
+class Request:
+    prompt: Sequence[int]
+    max_new_tokens: int
+    eos_token_id: Optional[object] = None
+    seed: int = 0
+    request_id: Optional[object] = None
+
+
+class ContinuousBatchingEngine:
+    def __init__(self, engine: LookaheadEngine, num_lanes: int = 4):
+        self.engine = engine
+        self.num_lanes = num_lanes
+        fns = engine._fns
+        self._vstep = jax.jit(
+            jax.vmap(fns.decode_step, in_axes=(None, 0, 0, 0)),
+            donate_argnums=(1,))
+
+        def insert_lane(batched, lane_state, lane):
+            return jax.tree.map(
+                lambda b, s: jax.lax.dynamic_update_index_in_dim(
+                    b, s, lane, axis=0),
+                batched, lane_state)
+
+        self._insert = jax.jit(insert_lane, donate_argnums=(0,))
+        self._batched = None
+        self._max_new = np.zeros((num_lanes,), np.int32)
+        self._eos = np.full((num_lanes, 4), -1, np.int32)
+        self._active: Dict[int, Request] = {}
+        self._queue: Deque[Request] = deque()
+        self._results: List[GenerationResult] = []
+        self._t0: Dict[int, float] = {}
+
+    # ------------------------------------------------------------------
+    def submit(self, request: Request) -> None:
+        self._queue.append(request)
+
+    def _ensure_batched(self):
+        if self._batched is None:
+            # idle template: finished lanes that no-op in the vmapped step
+            idle = self.engine._prepare([0], seed=0)
+            idle = idle._replace(finished=jnp.ones((), bool))
+            self._batched = jax.tree.map(
+                lambda x: jnp.stack([x] * self.num_lanes), idle)
+
+    def _admit(self) -> None:
+        if not self._queue:
+            return
+        finished = np.asarray(self._batched.finished)
+        for lane in range(self.num_lanes):
+            if not self._queue:
+                break
+            if lane in self._active or not finished[lane]:
+                continue
+            req = self._queue.popleft()
+            self._t0[lane] = time.perf_counter()
+            state = self.engine._prepare(req.prompt, req.seed)
+            self._batched = self._insert(self._batched, state, lane)
+            self._max_new[lane] = req.max_new_tokens
+            self._eos[lane] = np.asarray(_eos_vec(req.eos_token_id))
+            self._active[lane] = req
+
+    def _harvest(self) -> None:
+        finished = np.asarray(self._batched.finished)
+        done = [l for l in list(self._active) if finished[l]]
+        if not done:
+            return
+        n_confirmed = np.asarray(self._batched.n_confirmed)
+        init_len = np.asarray(self._batched.init_len)
+        steps = np.asarray(self._batched.step_idx)
+        out_buf = np.asarray(self._batched.out_buf)   # single transfer
+        for lane in done:
+            req = self._active.pop(lane)
+            total = min(int(n_confirmed[lane]),
+                        int(init_len[lane]) + req.max_new_tokens)
+            res = GenerationResult(
+                tokens=out_buf[lane, :total].copy(),
+                prompt_len=int(init_len[lane]),
+                steps=int(steps[lane]),
+                wall_time_s=time.perf_counter() - self._t0.pop(lane),
+            )
+            res.request_id = req.request_id
+            self._results.append(res)
+            if self.engine.log is not None:
+                self.engine.log.append(res)
+
+    def step(self) -> bool:
+        """Admit + one vmapped decode step + harvest. Returns True while any
+        lane is active or requests are queued."""
+        self._ensure_batched()
+        self._admit()
+        if not self._active:
+            return bool(self._queue)
+        self._batched = self._vstep(
+            self.engine.params, self._batched,
+            jnp.asarray(self._max_new), jnp.asarray(self._eos))
+        self._harvest()
+        return bool(self._active or self._queue)
+
+    def run(self, requests: Sequence[Request]) -> List[GenerationResult]:
+        """Offline mode: drain all requests through the lanes."""
+        for r in requests:
+            self.submit(r)
+        while self.step():
+            pass
+        out, self._results = self._results, []
+        return out

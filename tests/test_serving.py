@@ -1,0 +1,63 @@
+"""Continuous-batching scheduler tests: outputs must match individual
+generates; lanes must be reused when there are more requests than lanes."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import lookaheaddecoding_tpu as lt
+from lookaheaddecoding_tpu.core.serving import ContinuousBatchingEngine, Request
+
+
+def tiny_engine():
+    mcfg = lt.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=512, dtype=jnp.float32)
+    params = lt.init_params(mcfg, jax.random.PRNGKey(0), scale=0.5)
+    return lt.LookaheadEngine(
+        mcfg, params,
+        lt.LookaheadConfig(level=4, window_size=5, guess_set_size=4,
+                           pool_from_prompt=True),
+        lt.EngineConfig(max_seq_len=256, prefill_chunk=16, dtype="float32"))
+
+
+def test_continuous_batching_matches_individual():
+    eng = tiny_engine()
+    rng = np.random.RandomState(3)
+    prompts = [list(rng.randint(0, 128, size=n))
+               for n in (10, 13, 9, 11, 8)]   # 5 requests > 2 lanes
+    max_news = [20, 35, 12, 28, 16]           # staggered completion times
+    singles = [eng.generate(p, m, seed=i)
+               for i, (p, m) in enumerate(zip(prompts, max_news))]
+
+    server = ContinuousBatchingEngine(eng, num_lanes=2)
+    results = server.run([
+        Request(prompt=p, max_new_tokens=m, seed=i, request_id=i)
+        for i, (p, m) in enumerate(zip(prompts, max_news))])
+    assert len(results) == 5
+    by_id = {r.request_id: r for r in results}
+    for i, s in enumerate(singles):
+        np.testing.assert_array_equal(by_id[i].tokens, s.tokens)
+
+
+def test_continuous_batching_incremental_submit():
+    eng = tiny_engine()
+    rng = np.random.RandomState(4)
+    server = ContinuousBatchingEngine(eng, num_lanes=2)
+    p1 = list(rng.randint(0, 128, size=10))
+    p2 = list(rng.randint(0, 128, size=12))
+    server.submit(Request(prompt=p1, max_new_tokens=25, request_id="a"))
+    # run a few steps, then submit a second request mid-flight
+    for _ in range(3):
+        server.step()
+    server.submit(Request(prompt=p2, max_new_tokens=10, request_id="b"))
+    while server.step():
+        pass
+    ids = {r.request_id for r in server._results}
+    assert ids == {"a", "b"}
+    by_id = {r.request_id: r for r in server._results}
+    np.testing.assert_array_equal(
+        by_id["a"].tokens, eng.generate(p1, 25, seed=0).tokens)
+    np.testing.assert_array_equal(
+        by_id["b"].tokens, eng.generate(p2, 10, seed=0).tokens)
