@@ -11,6 +11,9 @@ from .core.layout import Layout, build_layout
 from .models.llama import LlamaConfig, init_params
 from .models.convert import convert_hf_model, convert_hf_state_dict, load_pretrained
 from .utils.logging import DecodeLog
+from .utils.checkpoint import load_params, save_params
+from .core.serving import ContinuousBatchingEngine, Request
+from .ops.quant import quantize_params
 
 __all__ = [
     "EngineConfig",
@@ -26,6 +29,11 @@ __all__ = [
     "convert_hf_state_dict",
     "load_pretrained",
     "DecodeLog",
+    "load_params",
+    "save_params",
+    "ContinuousBatchingEngine",
+    "Request",
+    "quantize_params",
 ]
 
 __version__ = "0.1.0"

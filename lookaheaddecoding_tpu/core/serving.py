@@ -33,13 +33,22 @@ class Request:
 
 
 class ContinuousBatchingEngine:
-    def __init__(self, engine: LookaheadEngine, num_lanes: int = 4):
+    def __init__(self, engine: LookaheadEngine, num_lanes: int = 4,
+                 steps_per_sync: int = 4):
+        """``steps_per_sync`` decode steps run per scheduling round-trip —
+        amortizes host dispatch latency at the cost of up to K-1 steps of
+        admission delay for queued requests (finished lanes no-op)."""
         self.engine = engine
         self.num_lanes = num_lanes
         fns = engine._fns
-        self._vstep = jax.jit(
-            jax.vmap(fns.decode_step, in_axes=(None, 0, 0, 0)),
-            donate_argnums=(1,))
+        vstep = jax.vmap(fns.decode_step, in_axes=(None, 0, 0, 0))
+
+        def multi_step(params, batched, max_new, eos):
+            return jax.lax.fori_loop(
+                0, steps_per_sync,
+                lambda _, s: vstep(params, s, max_new, eos), batched)
+
+        self._vstep = jax.jit(multi_step, donate_argnums=(1,))
 
         def insert_lane(batched, lane_state, lane):
             return jax.tree.map(

@@ -85,9 +85,11 @@ def _kernel(kv_len_ref, q_ref, k_ref, v_ref, o_ref,
 
     @pl.when(j <= last_active)
     def _compute():
-        q = q_ref[0].astype(jnp.float32)                 # [rows, D]
-        k = k_ref[0].astype(jnp.float32)                 # [BK, D]
-        v = v_ref[0].astype(jnp.float32)                 # [BK, D]
+        # Dots run at the INPUT dtype (bf16 in production -> native-speed
+        # MXU; fp32 in tests) with fp32 accumulation.
+        q = q_ref[0]                                     # [rows, D]
+        k = k_ref[0]                                     # [BK, D]
+        v = v_ref[0]                                     # [BK, D]
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
@@ -116,7 +118,7 @@ def _kernel(kv_len_ref, q_ref, k_ref, v_ref, o_ref,
 
         l_ref[:, :1] = alpha * l_ref[:, :1] + jnp.sum(p, axis=1, keepdims=True)
         acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+            p.astype(q.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         m_ref[:, :1] = m_new
 

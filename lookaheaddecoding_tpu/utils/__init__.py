@@ -1,0 +1,2 @@
+from .logging import DecodeLog
+from .checkpoint import load_params, save_params
