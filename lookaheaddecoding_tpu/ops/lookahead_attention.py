@@ -116,11 +116,11 @@ def _kernel(kv_len_ref, q_ref, k_ref, v_ref, o_ref,
             jnp.where(m_prev == NEG_INF, NEG_INF, m_prev - m_new))
         alpha = jnp.where(m_new == NEG_INF, 0.0, alpha)
 
-        l_ref[:, :1] = alpha * l_ref[:, :1] + jnp.sum(p, axis=1, keepdims=True)
+        l_ref[...] = alpha * l_ref[...] + jnp.sum(p, axis=1, keepdims=True)
         acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
             p.astype(q.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        m_ref[:, :1] = m_new
+        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
 
     @pl.when(j == n_blocks - 1)
     def _finalize():
@@ -140,13 +140,20 @@ def lookahead_attention(
     level: int,
     window: int,
     guess_size: int,
-    block_k: int = 256,
+    block_k: int = 0,
     interpret: bool = False,
 ) -> jax.Array:
-    """Fused composite-mask attention. Returns [S, Hq*D] in q.dtype."""
+    """Fused composite-mask attention. Returns [S, Hq*D] in q.dtype.
+
+    ``block_k=0`` auto-sizes the KV block (256-512 by context size): larger
+    blocks amortize per-program grid overhead; 512 keeps the fp32 score
+    tile within the ~16MB VMEM budget at rep*S ~ 2k query rows. Block
+    skipping past the live context prunes at this granularity."""
     s_len, hq, d = q.shape
     m, hkv, _ = k.shape
     rep = hq // hkv
+    if block_k == 0:
+        block_k = max(256, min(512, m // 8))
     block_k = min(block_k, m)
     assert m % block_k == 0, "cache capacity must be a multiple of block_k"
     n_blocks = m // block_k
