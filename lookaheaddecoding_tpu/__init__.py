@@ -14,6 +14,7 @@ from .utils.logging import DecodeLog
 from .utils.checkpoint import load_params, save_params
 from .core.serving import ContinuousBatchingEngine, Request
 from .ops.quant import quantize_params
+from .utils.tuning import TuneResult, autotune
 
 __all__ = [
     "EngineConfig",
@@ -34,6 +35,8 @@ __all__ = [
     "ContinuousBatchingEngine",
     "Request",
     "quantize_params",
+    "autotune",
+    "TuneResult",
 ]
 
 __version__ = "0.1.0"
