@@ -38,10 +38,14 @@ def quantize_weight(w: jax.Array, bits: int = 8) -> Dict[str, Any]:
         amax = np.abs(wf).max(axis=0, keepdims=True)
         scale = np.maximum(amax / 7.0, 1e-8)
         q = np.clip(np.rint(wf / scale), -7, 7).astype(np.int8)
-        # pack two int4 values per int8 along the input axis
+        # Split-half packing: byte row r holds input rows r (low nibble) and
+        # r + K/2 (high nibble). Unpacking is then a plain concat of the two
+        # nibble planes — no row interleave — which keeps the in-kernel
+        # dequant (ops/quant_matmul.py) free of sublane shuffles.
         assert q.shape[0] % 2 == 0, "input dim must be even for int4 packing"
-        lo = q[0::2] & 0x0F
-        hi = (q[1::2] & 0x0F) << 4
+        half = q.shape[0] // 2
+        lo = q[:half] & 0x0F
+        hi = (q[half:] & 0x0F) << 4
         packed = (lo | hi).astype(np.int8)
         return {"q4": jnp.asarray(packed), "scale": jnp.asarray(scale)}
     raise ValueError(f"unsupported bits: {bits}")
@@ -54,18 +58,25 @@ def dequantize_weight(wq: Dict[str, Any], dtype=jnp.bfloat16) -> jax.Array:
     packed = wq["q4"]
     lo = (packed << 4).astype(jnp.int8) >> 4        # sign-extend low nibble
     hi = packed >> 4                                 # arithmetic shift
-    n_in = packed.shape[0] * 2
-    # rows interleave as [lo0, hi0, lo1, hi1, ...] — pure reshape, no scatter
-    q = jnp.stack([lo, hi], axis=1).reshape(n_in, packed.shape[1])
+    q = jnp.concatenate([lo, hi], axis=0)           # split-half layout
     return (q.astype(jnp.float32) * wq["scale"]).astype(dtype)
 
 
+INT4_KERNEL_ENABLED = True
+
+
 def qmatmul(x: jax.Array, w, dtype=None) -> jax.Array:
-    """``x @ w`` where w is a plain array or a quantized dict. The dequant
-    cast sits directly on the matmul operand so XLA fuses it into the MXU
-    load (weights stream at int width)."""
+    """``x @ w`` where w is a plain array or a quantized dict. int8 relies
+    on XLA fusing the convert into the MXU load; int4 dispatches to the
+    fused Pallas unpack-matmul kernel on TPU (the XLA nibble unpack does not
+    fuse), falling back to explicit dequant on CPU / unsupported shapes."""
     if not isinstance(w, dict):
         return x @ w
+    if "q4" in w and INT4_KERNEL_ENABLED:
+        from .quant_matmul import int4_matmul, int4_matmul_supported
+        if (jax.default_backend() != "cpu"
+                and int4_matmul_supported(x.shape[-1], w["q4"].shape)):
+            return int4_matmul(x, w["q4"], w["scale"])
     dtype = dtype or x.dtype
     return x @ dequantize_weight(w, dtype=dtype)
 

@@ -1,0 +1,99 @@
+"""Fused int4 dequantize-matmul Pallas kernel.
+
+XLA handles the int8 weight path well (the int8->bf16 convert fuses into the
+MXU operand load), but the int4 nibble unpack does NOT fuse — it
+materializes full-width weights every step, making int4 *slower* than bf16.
+This kernel streams the packed ``[K/2, N] int8`` buffer from HBM, unpacks
+nibbles in VMEM and feeds the MXU directly, so weight HBM traffic is a true
+quarter of bf16.
+
+Split-half packing (ops/quant.py:quantize_weight): packed row r holds input
+row r in its low nibble and input row r + K/2 in its high nibble. A packed
+K-block therefore pairs with TWO activation column blocks — one from each
+half — which the kernel takes as separate operands (two narrow dots instead
+of a row-interleave shuffle).
+
+Per-output-channel scales are applied once at the K-accumulation epilogue
+(they factor out of the contraction exactly, matching the XLA dequant path
+in fp32 accumulation).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(xlo_ref, xhi_ref, q_ref, s_ref, o_ref, acc_ref, *, n_kblocks):
+    kb = pl.program_id(1)
+
+    @pl.when(kb == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    packed = q_ref[...]                                # [BKh, BN] int8
+    lo = ((packed << 4).astype(jnp.int8) >> 4)         # sign-extended
+    hi = (packed >> 4)
+    xlo = xlo_ref[...]                                 # [T, BKh]
+    xhi = xhi_ref[...]
+    dims = (((1,), (0,)), ((), ()))
+    acc_ref[...] += (
+        jax.lax.dot_general(xlo, lo.astype(xlo.dtype), dims,
+                            preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(xhi, hi.astype(xhi.dtype), dims,
+                              preferred_element_type=jnp.float32))
+
+    @pl.when(kb == n_kblocks - 1)
+    def _finalize():
+        o_ref[...] = (acc_ref[...] * s_ref[...]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "block_k", "interpret"))
+def int4_matmul(
+    x: jax.Array,        # [T, K] activations
+    q4: jax.Array,       # [K/2, N] int8 split-half packed weights
+    scale: jax.Array,    # [1, N] fp32 per-output-channel scales
+    block_n: int = 256,
+    block_k: int = 256,  # packed rows per block (= K/2 tile)
+    interpret: bool = False,
+) -> jax.Array:
+    """x @ dequant(q4, scale) with in-kernel nibble unpack."""
+    t, k = x.shape
+    k2, n = q4.shape
+    assert k == 2 * k2, "split-half packed weight mismatch"
+    assert k2 % block_k == 0 and n % block_n == 0
+    n_kblocks = k2 // block_k
+    t_pad = -(-t // 8) * 8
+    if t_pad != t:
+        x = jnp.pad(x, ((0, t_pad - t), (0, 0)))
+    x_lo, x_hi = x[:, :k2], x[:, k2:]
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, n_kblocks=n_kblocks),
+        grid=(n // block_n, n_kblocks),
+        in_specs=[
+            pl.BlockSpec((t_pad, block_k), lambda nb, kb: (0, kb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_pad, block_k), lambda nb, kb: (0, kb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_k, block_n), lambda nb, kb: (kb, nb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda nb, kb: (0, nb),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((t_pad, block_n), lambda nb, kb: (0, nb),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t_pad, n), x.dtype),
+        scratch_shapes=[pltpu.VMEM((t_pad, block_n), jnp.float32)],
+        interpret=interpret,
+    )(x_lo, x_hi, q4, scale)
+    return out[:t]
+
+
+def int4_matmul_supported(k: int, q4_shape, block_n=256, block_k=256) -> bool:
+    k2, n = q4_shape
+    return k == 2 * k2 and k2 % block_k == 0 and n % block_n == 0
