@@ -50,6 +50,9 @@ def base_parser() -> argparse.ArgumentParser:
     ap.add_argument("--tp", type=int, default=1,
                     help="tensor-parallel mesh axis (replaces --use-tp-ds)")
     ap.add_argument("--max-seq-len", type=int, default=2048)
+    ap.add_argument("--stats-file", default=None,
+                    help="JSON dump of per-turn [latency_s, tokens] pairs "
+                         "(reference saves these as .pt, eval_mtbench.py:381)")
     return ap
 
 
@@ -136,6 +139,9 @@ def run_eval(
               f"({stats[-1][1]} tok, {stats[-1][1] / stats[-1][0]:.1f} tok/s)")
 
     reorg_answer_file(answer_file)
+    if getattr(args, "stats_file", None):
+        with open(args.stats_file, "w") as f:
+            json.dump(stats, f)
     total_t = sum(s[0] for s in stats)
     total_tok = sum(s[1] for s in stats)
     # reference prints AVERAGE THROUGHPUT1/2 (eval_mtbench.py:381-386)

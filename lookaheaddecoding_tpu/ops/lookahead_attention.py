@@ -5,10 +5,14 @@ TPU-native equivalent of the reference's forked FlashAttention CUDA kernel
 :680-715 invocation; the fork applies the composite lookahead+verification
 mask *inside* the kernel, parameterized by a 7-int descriptor, instead of
 materializing a dense additive mask). Here the mask is derived analytically
-per KV block from integer iota arithmetic and two runtime scalars
-(``kv_len`` plus the static W/N/G layout), with:
+per KV block from integer iota arithmetic and one runtime scalar
+(``kv_len``; the W/N/G layout is compile-time), with:
 
   - online-softmax accumulation over KV blocks (FlashAttention-2 style),
+  - ALL KV heads processed per program (static unroll) so the grid is just
+    the KV-block axis — per-program overhead, not FLOPs, dominates this
+    kernel at decode sizes, and the composite mask is computed once per
+    block and shared across heads,
   - grouped-query attention folded in (q rows = rep * S per KV head),
   - KV-block skipping: blocks past ``kv_len + S`` are clamped to the last
     active block via the scalar-prefetched index map and their compute is
@@ -68,9 +72,9 @@ def _spec_visible(qi, rj, *, level, window, guess_size):
 
 def _kernel(kv_len_ref, q_ref, k_ref, v_ref, o_ref,
             acc_ref, m_ref, l_ref, *,
-            level, window, guess_size, s_len, block_k, n_blocks, scale):
-    g = pl.program_id(0)
-    j = pl.program_id(1)
+            level, window, guess_size, s_len, block_k, n_blocks, n_heads,
+            scale):
+    j = pl.program_id(0)
     kv_len = kv_len_ref[0]
     rows = q_ref.shape[1]
 
@@ -85,16 +89,7 @@ def _kernel(kv_len_ref, q_ref, k_ref, v_ref, o_ref,
 
     @pl.when(j <= last_active)
     def _compute():
-        # Dots run at the INPUT dtype (bf16 in production -> native-speed
-        # MXU; fp32 in tests) with fp32 accumulation.
-        q = q_ref[0]                                     # [rows, D]
-        k = k_ref[0]                                     # [BK, D]
-        v = v_ref[0]                                     # [BK, D]
-
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale  # [rows, BK]
-
+        # composite mask: computed once per KV block, shared by all heads
         col = j * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (rows, block_k), 1)
         qi = jax.lax.broadcasted_iota(
@@ -104,28 +99,38 @@ def _kernel(kv_len_ref, q_ref, k_ref, v_ref, o_ref,
             (rel >= 0) & (rel < s_len)
             & _spec_visible(qi, rel, level=level, window=window,
                             guess_size=guess_size))
-        s = jnp.where(visible, s, NEG_INF)
 
-        m_prev = m_ref[:, :1]                            # [rows, 1]
-        m_cur = jnp.max(s, axis=1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        # all-masked rows/blocks: keep exp argument finite
-        p = jnp.exp(s - jnp.where(m_new == NEG_INF, 0.0, m_new))
-        p = jnp.where(visible, p, 0.0)
-        alpha = jnp.exp(
-            jnp.where(m_prev == NEG_INF, NEG_INF, m_prev - m_new))
-        alpha = jnp.where(m_new == NEG_INF, 0.0, alpha)
+        for g in range(n_heads):          # static unroll over KV heads
+            q = q_ref[g]                                 # [rows, D] (dtype)
+            k = k_ref[g]                                 # [BK, D]
+            v = v_ref[g]
 
-        l_ref[...] = alpha * l_ref[...] + jnp.sum(p, axis=1, keepdims=True)
-        acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
-            p.astype(q.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            s = jnp.where(visible, s, NEG_INF)
+
+            m_prev = m_ref[g, :, :1]                     # [rows, 1]
+            m_cur = jnp.max(s, axis=1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            # all-masked rows/blocks: keep exp argument finite
+            p = jnp.exp(s - jnp.where(m_new == NEG_INF, 0.0, m_new))
+            p = jnp.where(visible, p, 0.0)
+            alpha = jnp.exp(
+                jnp.where(m_prev == NEG_INF, NEG_INF, m_prev - m_new))
+            alpha = jnp.where(m_new == NEG_INF, 0.0, alpha)
+
+            l_ref[g] = alpha * l_ref[g] + jnp.sum(p, axis=1, keepdims=True)
+            acc_ref[g] = acc_ref[g] * alpha + jax.lax.dot_general(
+                p.astype(q.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            m_ref[g] = jnp.broadcast_to(m_new, m_ref.shape[1:])
 
     @pl.when(j == n_blocks - 1)
     def _finalize():
-        denom = jnp.maximum(l_ref[:, :1], 1e-30)
-        o_ref[0] = (acc_ref[...] / denom).astype(o_ref.dtype)
+        for g in range(n_heads):
+            denom = jnp.maximum(l_ref[g, :, :1], 1e-30)
+            o_ref[g] = (acc_ref[g] / denom).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -145,10 +150,9 @@ def lookahead_attention(
 ) -> jax.Array:
     """Fused composite-mask attention. Returns [S, Hq*D] in q.dtype.
 
-    ``block_k=0`` auto-sizes the KV block (256-512 by context size): larger
-    blocks amortize per-program grid overhead; 512 keeps the fp32 score
-    tile within the ~16MB VMEM budget at rep*S ~ 2k query rows. Block
-    skipping past the live context prunes at this granularity."""
+    ``block_k=0`` auto-sizes the KV block (256-512 by context size); the
+    per-head fp32 score tile bounds VMEM, so the budget is raised via
+    CompilerParams rather than shrinking blocks."""
     s_len, hq, d = q.shape
     m, hkv, _ = k.shape
     rep = hq // hkv
@@ -170,27 +174,28 @@ def lookahead_attention(
 
     kernel = functools.partial(
         _kernel, level=level, window=window, guess_size=guess_size,
-        s_len=s_len, block_k=block_k, n_blocks=n_blocks, scale=scale)
+        s_len=s_len, block_k=block_k, n_blocks=n_blocks, n_heads=hkv,
+        scale=scale)
 
-    def kv_index(g, j, kv_len_ref):
+    def kv_index(j, kv_len_ref):
         last_active = jnp.maximum(
             (kv_len_ref[0] + s_len + block_k - 1) // block_k - 1, 0)
-        return (g, jnp.minimum(j, last_active), 0)
+        return (0, jnp.minimum(j, last_active), 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(hkv, n_blocks),
+        grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((1, rows_pad, d), lambda g, j, kv_len_ref: (g, 0, 0)),
-            pl.BlockSpec((1, block_k, d), kv_index),
-            pl.BlockSpec((1, block_k, d), kv_index),
+            pl.BlockSpec((hkv, rows_pad, d), lambda j, kv_len_ref: (0, 0, 0)),
+            pl.BlockSpec((hkv, block_k, d), kv_index),
+            pl.BlockSpec((hkv, block_k, d), kv_index),
         ],
         out_specs=pl.BlockSpec(
-            (1, rows_pad, d), lambda g, j, kv_len_ref: (g, 0, 0)),
+            (hkv, rows_pad, d), lambda j, kv_len_ref: (0, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((rows_pad, d), jnp.float32),     # acc
-            pltpu.VMEM((rows_pad, 128), jnp.float32),   # running max
-            pltpu.VMEM((rows_pad, 128), jnp.float32),   # running denom
+            pltpu.VMEM((hkv, rows_pad, d), jnp.float32),     # acc
+            pltpu.VMEM((hkv, rows_pad, 128), jnp.float32),   # running max
+            pltpu.VMEM((hkv, rows_pad, 128), jnp.float32),   # running denom
         ],
     )
 
@@ -198,6 +203,8 @@ def lookahead_attention(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((hkv, rows_pad, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )(kv_len.reshape(1).astype(jnp.int32), qh, kh, vh)
 
