@@ -35,9 +35,13 @@ def _kernel(xlo_ref, xhi_ref, q_ref, s_ref, o_ref, acc_ref, *, n_kblocks):
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    packed = q_ref[...]                                # [BKh, BN] int8
-    lo = ((packed << 4).astype(jnp.int8) >> 4)         # sign-extended
-    hi = (packed >> 4)
+    # Nibble unpack via i32 mask/xor arithmetic (Mosaic has no i8 vector
+    # shifts): for a 4-bit two's-complement value v, (v ^ 8) - 8
+    # sign-extends; the high nibble is isolated with an exact /16 after
+    # clearing the low bits (exact multiple -> no rounding mode concerns).
+    p32 = q_ref[...].astype(jnp.int32)                 # sign-extended bytes
+    lo = ((p32 & 15) ^ 8) - 8
+    hi = ((((p32 - (p32 & 15)) // 16) & 15) ^ 8) - 8
     xlo = xlo_ref[...]                                 # [T, BKh]
     xhi = xhi_ref[...]
     dims = (((1,), (0,)), ((), ()))
@@ -52,20 +56,30 @@ def _kernel(xlo_ref, xhi_ref, q_ref, s_ref, o_ref, acc_ref, *, n_kblocks):
         o_ref[...] = (acc_ref[...] * s_ref[...]).astype(o_ref.dtype)
 
 
+def _pick_block(dim: int, candidates=(2048, 1280, 1024, 640, 512, 256)) -> int:
+    # candidates are lane-aligned (x128); 1280/640 cover 32000-class vocabs
+    for c in candidates:
+        if dim % c == 0:
+            return c
+    return 0
+
+
 @functools.partial(jax.jit, static_argnames=("block_n", "block_k", "interpret"))
 def int4_matmul(
     x: jax.Array,        # [T, K] activations
     q4: jax.Array,       # [K/2, N] int8 split-half packed weights
     scale: jax.Array,    # [1, N] fp32 per-output-channel scales
-    block_n: int = 256,
-    block_k: int = 256,  # packed rows per block (= K/2 tile)
+    block_n: int = 0,    # 0 = auto (largest tiling divisor, caps program count)
+    block_k: int = 0,    # packed rows per block (= K/2 tile); 0 = auto
     interpret: bool = False,
 ) -> jax.Array:
     """x @ dequant(q4, scale) with in-kernel nibble unpack."""
     t, k = x.shape
     k2, n = q4.shape
     assert k == 2 * k2, "split-half packed weight mismatch"
-    assert k2 % block_k == 0 and n % block_n == 0
+    block_n = block_n or _pick_block(n)
+    block_k = block_k or _pick_block(k2, (512, 256))
+    assert block_n and block_k, "untileable shapes; use the dequant fallback"
     n_kblocks = k2 // block_k
     t_pad = -(-t // 8) * 8
     if t_pad != t:
@@ -89,11 +103,14 @@ def int4_matmul(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((t_pad, n), x.dtype),
         scratch_shapes=[pltpu.VMEM((t_pad, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )(x_lo, x_hi, q4, scale)
     return out[:t]
 
 
-def int4_matmul_supported(k: int, q4_shape, block_n=256, block_k=256) -> bool:
+def int4_matmul_supported(k: int, q4_shape) -> bool:
     k2, n = q4_shape
-    return k == 2 * k2 and k2 % block_k == 0 and n % block_n == 0
+    return (k == 2 * k2 and _pick_block(k2, (512, 256)) != 0
+            and _pick_block(n) != 0)
