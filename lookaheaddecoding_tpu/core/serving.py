@@ -87,8 +87,19 @@ class ContinuousBatchingEngine:
             if lane in self._active or not finished[lane]:
                 continue
             req = self._queue.popleft()
+            try:
+                state = self.engine._prepare(req.prompt, req.seed)
+            except ValueError as e:
+                # bad request (empty / over-capacity prompt): fail it
+                # without taking down the scheduler or its lanes
+                res = GenerationResult(
+                    tokens=np.asarray(req.prompt, np.int32),
+                    prompt_len=len(req.prompt), steps=0)
+                res.request_id = req.request_id
+                res.error = str(e)
+                self._results.append(res)
+                continue
             self._t0[lane] = time.perf_counter()
-            state = self.engine._prepare(req.prompt, req.seed)
             self._batched = self._insert(self._batched, state, lane)
             self._max_new[lane] = req.max_new_tokens
             self._eos[lane] = np.asarray(_eos_vec(req.eos_token_id))

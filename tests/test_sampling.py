@@ -130,6 +130,39 @@ def test_first_token_marginal_matches_model_distribution():
     assert tv < 0.35, f"total variation too high: {tv}"
 
 
+def test_first_token_marginal_with_active_guesses():
+    """Same marginal check but with verification candidates ACTIVE for the
+    very first sampled token (pool seeded from a repetitive prompt): the
+    SpecInfer accept/reject path must leave the output distribution equal
+    to the model's softmax regardless of what the drafts propose."""
+    eng, mcfg, params = tiny_engine(pool_from_prompt=True)
+    prompt = [5, 9, 13, 5, 9, 13, 5, 9, 13, 5, 9, 13]
+    # confirm guesses are active at step 0
+    from lookaheaddecoding_tpu.core.pool import pool_lookup
+    st = eng._prepare(prompt, 0)
+    _, valid = pool_lookup(st.pool, jnp.int32(prompt[-1]))
+    assert bool(np.asarray(valid).any())
+
+    n = 400
+    counts = np.zeros(mcfg.vocab_size)
+    for seed in range(n):
+        r = eng.generate_sample(prompt, 1, SamplingConfig(), seed=seed)
+        counts[r.new_tokens[0]] += 1
+    emp = counts / n
+    T = len(prompt)
+    k_cache, v_cache = llama.make_kv_cache(mcfg, 64)
+    cos, sin = llama.rope_tables(mcfg, 64)
+    col = jnp.arange(64)
+    pos = jnp.arange(T)
+    mask = jnp.where(col[None, :] <= pos[:, None], 0.0, NEG)
+    logits, _, _ = llama.forward(
+        params, mcfg, jnp.asarray(prompt), pos, k_cache, v_cache,
+        jnp.int32(0), mask, cos, sin)
+    target = np.asarray(jax.nn.softmax(logits[-1]))
+    tv = 0.5 * np.abs(emp - target).sum()
+    assert tv < 0.35, f"total variation too high with guesses active: {tv}"
+
+
 def test_sampling_seeds_differ():
     eng, _, _ = tiny_engine()
     prompt = list(np.random.RandomState(2).randint(0, 64, size=10))

@@ -41,6 +41,23 @@ def test_continuous_batching_matches_individual():
         np.testing.assert_array_equal(by_id[i].tokens, s.tokens)
 
 
+def test_bad_request_fails_gracefully_without_killing_lanes():
+    eng = tiny_engine()
+    rng = np.random.RandomState(5)
+    good = list(rng.randint(0, 128, size=10))
+    oversized = list(rng.randint(0, 128, size=300))   # > max_seq_len=256
+    server = ContinuousBatchingEngine(eng, num_lanes=2)
+    results = server.run([
+        Request(prompt=good, max_new_tokens=12, request_id="ok"),
+        Request(prompt=oversized, max_new_tokens=12, request_id="bad"),
+        Request(prompt=good, max_new_tokens=8, request_id="ok2"),
+    ])
+    by_id = {r.request_id: r for r in results}
+    assert by_id["bad"].error and "exceeds" in by_id["bad"].error
+    assert by_id["ok"].error is None and by_id["ok"].num_generated == 12
+    assert by_id["ok2"].num_generated == 8
+
+
 def test_continuous_batching_incremental_submit():
     eng = tiny_engine()
     rng = np.random.RandomState(4)
