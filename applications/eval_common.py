@@ -61,6 +61,7 @@ def make_engine(args):
     import lookaheaddecoding_tpu as lt
 
     mcfg, params, tok = lt.load_pretrained(args.model_path, dtype=jnp.bfloat16)
+    mesh = None
     if args.tp > 1:
         from lookaheaddecoding_tpu.parallel.sharding import (
             make_mesh, shard_params)
@@ -73,8 +74,9 @@ def make_engine(args):
             level=args.level, window_size=args.window,
             guess_set_size=args.guess, pool_from_prompt=True,
             attention_impl="pallas" if args.use_flash else "xla"),
-        lt.EngineConfig(max_seq_len=args.max_seq_len, prefill_chunk=128),
-        log=log)
+        lt.EngineConfig(max_seq_len=args.max_seq_len, prefill_chunk=128,
+                        tp=args.tp),
+        log=log, mesh=mesh)
     return eng, tok, log
 
 

@@ -74,10 +74,12 @@ def get_engine(model_path: str, dtype=None):
     lcfg, ecfg = _configs()
     mcfg, params, tok = load_pretrained(
         model_path, dtype=dtype or jnp.bfloat16)
+    mesh = None
     if ecfg.tp > 1:
-        params = shard_params(params, make_mesh(tp=ecfg.tp), mcfg)
+        mesh = make_mesh(tp=ecfg.tp)
+        params = shard_params(params, mesh, mcfg)
     eng = LookaheadEngine(mcfg, params, lcfg, ecfg,
-                          log=CONFIG_MAP.get("log"))
+                          log=CONFIG_MAP.get("log"), mesh=mesh)
     return eng, tok
 
 

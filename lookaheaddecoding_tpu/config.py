@@ -89,6 +89,10 @@ class EngineConfig:
     prefill_chunk: int = 256         # prefill processed in fixed-size chunks
     dtype: str = "bfloat16"          # activation / weight compute dtype
     kv_quant: Optional[str] = None   # None | "int8": quantized KV cache
+    # Fuse qkv and gate/up projections into single wide matmuls at engine
+    # init (single-chip, unquantized params only). Off by default: measured
+    # neutral on v5e (XLA schedules the split matmuls equally well).
+    fuse_projections: bool = False
     # Mesh axis sizes; product must equal len(jax.devices()) when used.
     tp: int = 1                      # tensor-parallel axis over ICI
     la: int = 1                      # lookahead-parallel axis (speculative tokens)

@@ -96,16 +96,20 @@ class LookaheadEngine:
         self.lcfg = lookahead or LookaheadConfig()
         self.ecfg = engine or EngineConfig()
         if self.lcfg.attention_impl == "auto":
+            # fused kernel needs the capacity to tile into its KV blocks
+            use_pallas = (self.ecfg.max_seq_len >= 2048
+                          and self.ecfg.max_seq_len % 512 == 0
+                          and not self.ecfg.kv_quant)
             self.lcfg = dataclasses.replace(
                 self.lcfg,
-                attention_impl=(
-                    "pallas" if (self.ecfg.max_seq_len >= 2048
-                                 and not self.ecfg.kv_quant) else "xla"))
+                attention_impl="pallas" if use_pallas else "xla")
         self.layout: Layout = build_layout(self.lcfg)
         self.log = log
         self.mesh = mesh
         if self.ecfg.max_seq_len < self.layout.seq_len + 8:
             raise ValueError("max_seq_len too small for the composite step")
+        if self.ecfg.prefill_chunk > self.ecfg.max_seq_len:
+            raise ValueError("prefill_chunk must not exceed max_seq_len")
         if (self.mcfg.sliding_window is not None
                 and self.ecfg.max_seq_len > self.mcfg.sliding_window):
             raise NotImplementedError(
@@ -116,6 +120,9 @@ class LookaheadEngine:
             raise NotImplementedError(
                 "quantized KV with the fused Pallas kernel is not wired up "
                 "yet; use attention_impl='xla' with kv_quant")
+
+        if self.ecfg.fuse_projections and mesh is None:
+            self.params = llama.fuse_params(self.params)
 
         fns = build_step_fns(self.mcfg, self.lcfg, self.ecfg, self.layout,
                              mesh=mesh)
@@ -164,15 +171,23 @@ class LookaheadEngine:
             state = state._replace(pool=self._apply_fill(state.pool, *fill))
 
         # Chunked prefill of prompt[:-1]; the last prompt token rides in the
-        # first composite step's lst slot.
+        # first composite step's lst slot. The final chunk is overlap-aligned
+        # (start = P-1-C) instead of zero-padded so no write ever lands past
+        # the prompt region — a padded chunk could exceed max_seq_len and
+        # dynamic_update_slice would CLAMP its start, silently corrupting
+        # earlier prompt KV slots.
         C = self.ecfg.prefill_chunk
-        n_chunks = -(-(P - 1) // C) if P > 1 else 0
-        padded = np.zeros((n_chunks * C,), np.int32)
-        padded[: P - 1] = prompt[: P - 1]
-        for c in range(n_chunks):
-            state = self._prefill(
-                self.params, state,
-                jnp.asarray(padded[c * C:(c + 1) * C]), jnp.int32(c * C))
+        n = P - 1
+        if n > 0:
+            starts = list(range(0, n, C))
+            if starts and starts[-1] + C > n and n >= C:
+                starts[-1] = n - C
+            for start in starts:
+                take = min(C, n - start)
+                chunk = np.zeros((C,), np.int32)
+                chunk[:take] = prompt[start: start + take]
+                state = self._prefill(
+                    self.params, state, jnp.asarray(chunk), jnp.int32(start))
         return state
 
     def _finalize(

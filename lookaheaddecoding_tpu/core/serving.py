@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .engine import GenerationResult, LookaheadEngine, _eos_vec
+from .engine import MAX_EOS_IDS, GenerationResult, LookaheadEngine, _eos_vec
 
 
 @dataclasses.dataclass
@@ -59,7 +59,7 @@ class ContinuousBatchingEngine:
         self._insert = jax.jit(insert_lane, donate_argnums=(0,))
         self._batched = None
         self._max_new = np.zeros((num_lanes,), np.int32)
-        self._eos = np.full((num_lanes, 4), -1, np.int32)
+        self._eos = np.full((num_lanes, MAX_EOS_IDS), -1, np.int32)
         self._active: Dict[int, Request] = {}
         self._queue: Deque[Request] = deque()
         self._results: List[GenerationResult] = []

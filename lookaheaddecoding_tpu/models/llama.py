@@ -67,7 +67,18 @@ class LlamaConfig:
         scaling = None
         rs = getattr(hf_config, "rope_scaling", None)
         if rs:
-            scaling = (rs.get("type", rs.get("rope_type", "linear")), float(rs["factor"]))
+            kind = rs.get("type", rs.get("rope_type", "linear"))
+            # "default" appears in some configs as an explicit no-op
+            if kind == "default":
+                rs = None
+            elif kind not in ("linear", "dynamic"):
+                # fail loud: silently ignoring llama3/yarn/longrope scaling
+                # would produce plausible-but-wrong generations
+                raise NotImplementedError(
+                    f"rope_scaling type '{kind}' is not implemented "
+                    "(supported: linear, dynamic)")
+            if rs:
+                scaling = (kind, float(rs["factor"]))
         return cls(
             vocab_size=hf_config.vocab_size,
             hidden_size=hf_config.hidden_size,
@@ -251,6 +262,29 @@ def kv_cache_write(cache, new: jax.Array, start) :
 # Forward
 # ---------------------------------------------------------------------------
 
+def fuse_params(params: Dict) -> Dict:
+    """Fuse per-layer qkv and gate/up projections into single wide matmuls
+    (fewer, larger MXU ops — wins most at T=1 decode and for the int4
+    kernel's per-call overhead). Engine-side transform; checkpoints and the
+    HF converter keep the unfused layout. Plain (unquantized, unsharded)
+    params only — quantized dicts and mesh-sharded trees stay unfused."""
+    lp = params["layers"]
+    if "wqkv" in lp:
+        return params
+    if any(isinstance(lp[k], dict) for k in ("wq", "wk", "wv", "w_gate",
+                                             "w_up")):
+        return params
+    new_lp = {k: v for k, v in lp.items()
+              if k not in ("wq", "wk", "wv", "w_gate", "w_up", "bq", "bk",
+                           "bv")}
+    new_lp["wqkv"] = jnp.concatenate([lp["wq"], lp["wk"], lp["wv"]], axis=-1)
+    new_lp["w_gate_up"] = jnp.concatenate([lp["w_gate"], lp["w_up"]], axis=-1)
+    if "bq" in lp:
+        new_lp["bqkv"] = jnp.concatenate([lp["bq"], lp["bk"], lp["bv"]],
+                                         axis=-1)
+    return {**params, "layers": new_lp}
+
+
 def forward(
     params: Dict,
     cfg: LlamaConfig,
@@ -293,11 +327,19 @@ def forward(
     def layer_fn(x, scanned):
         p, kc, vc = scanned
         y = rms_norm(x, p["input_norm"], cfg.rms_norm_eps)
-        q = qmatmul(y, p["wq"])
-        k = qmatmul(y, p["wk"])
-        vv = qmatmul(y, p["wv"])
-        if cfg.attention_bias:
-            q, k, vv = q + p["bq"], k + p["bk"], vv + p["bv"]
+        if "wqkv" in p:      # fused projections (fuse_params)
+            qkv = qmatmul(y, p["wqkv"])
+            if cfg.attention_bias:
+                qkv = qkv + p["bqkv"]
+            q = qkv[:, : hq * d]
+            k = qkv[:, hq * d: (hq + hkv) * d]
+            vv = qkv[:, (hq + hkv) * d:]
+        else:
+            q = qmatmul(y, p["wq"])
+            k = qmatmul(y, p["wk"])
+            vv = qmatmul(y, p["wv"])
+            if cfg.attention_bias:
+                q, k, vv = q + p["bq"], k + p["bk"], vv + p["bv"]
         q = q.reshape(t, hq, d)
         k = k.reshape(t, hkv, d)
         vv = vv.reshape(t, hkv, d)
@@ -316,9 +358,14 @@ def forward(
             attn = attention_xla(q, kc, vc, mask)          # [T, Hq*D]
         x = x + qmatmul(attn.astype(cfg.dtype), p["wo"])
         y = rms_norm(x, p["post_norm"], cfg.rms_norm_eps)
-        gate = jax.nn.silu(
-            qmatmul(y, p["w_gate"]).astype(jnp.float32)).astype(cfg.dtype)
-        x = x + qmatmul(gate * qmatmul(y, p["w_up"]), p["w_down"])
+        inter = cfg.intermediate_size
+        if "w_gate_up" in p:
+            gu = qmatmul(y, p["w_gate_up"])
+            gate_in, up = gu[:, :inter], gu[:, inter:]
+        else:
+            gate_in, up = qmatmul(y, p["w_gate"]), qmatmul(y, p["w_up"])
+        gate = jax.nn.silu(gate_in.astype(jnp.float32)).astype(cfg.dtype)
+        x = x + qmatmul(gate * up, p["w_down"])
         return x, (kc, vc)
 
     x, (k_cache, v_cache) = jax.lax.scan(layer_fn, x, (lp, k_cache, v_cache))

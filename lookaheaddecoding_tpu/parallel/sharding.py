@@ -52,33 +52,49 @@ def make_multihost_mesh(dp_hosts: int = 1, tp: int = 1, la: int = 1) -> Mesh:
     return Mesh(devs, ("dp", "la", "tp"))
 
 
-def param_specs(cfg: LlamaConfig) -> Dict:
+_LAYER_SPECS = {
+    "input_norm": P(None, None),
+    "post_norm": P(None, None),
+    "wq": P(None, None, "tp"),
+    "wk": P(None, None, "tp"),
+    "wv": P(None, None, "tp"),
+    "wo": P(None, "tp", None),
+    "w_gate": P(None, None, "tp"),
+    "w_up": P(None, None, "tp"),
+    "w_down": P(None, "tp", None),
+    # Qwen2-style qkv biases (column-parallel like their weights)
+    "bq": P(None, "tp"),
+    "bk": P(None, "tp"),
+    "bv": P(None, "tp"),
+    "bqkv": P(None, "tp"),
+    # fused layouts (models/llama.py:fuse_params)
+    "wqkv": P(None, None, "tp"),
+    "w_gate_up": P(None, None, "tp"),
+}
+
+
+def param_specs(cfg: LlamaConfig, params=None) -> Dict:
     """Megatron-style tensor-parallel layout over the ``tp`` axis:
     column-parallel QKV/gate/up (output features sharded), row-parallel
-    o/down (input features sharded), vocab-sharded embed & lm_head."""
-    return {
+    o/down (input features sharded), vocab-sharded embed & lm_head. When
+    ``params`` is given, the spec tree matches its exact key set (bias /
+    fused / tied-embedding variants)."""
+    layer_keys = (params["layers"].keys() if params is not None
+                  else ("input_norm", "post_norm", "wq", "wk", "wv", "wo",
+                        "w_gate", "w_up", "w_down"))
+    specs = {
         "embed": P("tp", None),
-        "layers": {
-            "input_norm": P(None, None),
-            "post_norm": P(None, None),
-            "wq": P(None, None, "tp"),
-            "wk": P(None, None, "tp"),
-            "wv": P(None, None, "tp"),
-            "wo": P(None, "tp", None),
-            "w_gate": P(None, None, "tp"),
-            "w_up": P(None, None, "tp"),
-            "w_down": P(None, "tp", None),
-        },
+        "layers": {k: _LAYER_SPECS[k] for k in layer_keys},
         "final_norm": P(None),
         "lm_head": P(None, "tp"),
     }
+    if params is not None and "lm_head" not in params:
+        del specs["lm_head"]
+    return specs
 
 
 def shard_params(params, mesh: Mesh, cfg: LlamaConfig):
-    specs = param_specs(cfg)
-    if "lm_head" not in params:
-        specs = dict(specs)
-        specs.pop("lm_head")
+    specs = param_specs(cfg, params)
     return jax.tree.map(
         lambda s, x: jax.device_put(x, NamedSharding(mesh, s)), specs, params,
         is_leaf=lambda s: isinstance(s, P),

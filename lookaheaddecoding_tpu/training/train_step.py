@@ -56,26 +56,24 @@ def make_train_step(
     if mesh is None:
         return jax.jit(step)
 
-    specs = param_specs(cfg)
-    p_shard = jax.tree.map(
-        lambda s: NamedSharding(mesh, s), specs,
-        is_leaf=lambda s: isinstance(s, P))
     batch_shard = NamedSharding(mesh, P("dp", None))
-
-    def shard_tree_like(tree_specs, params):
-        # align spec tree with the (possibly lm_head-less) param tree
-        out = {k: v for k, v in tree_specs.items()}
-        if "lm_head" not in params and "lm_head" in out:
-            del out["lm_head"]
-        return out
+    jitted = {}   # has_lm_head -> compiled step (jit built ONCE per variant)
 
     def sharded_step(params, opt_state, batch):
-        ps = shard_tree_like(p_shard, params)
-        return jax.jit(
-            step,
-            in_shardings=(ps, ps, batch_shard),
-            out_shardings=(ps, ps, NamedSharding(mesh, P())),
-        )(params, opt_state, batch)
+        key = "lm_head" in params
+        fn = jitted.get(key)
+        if fn is None:
+            ps = jax.tree.map(
+                lambda s: NamedSharding(mesh, s),
+                param_specs(cfg, params),
+                is_leaf=lambda s: isinstance(s, P))
+            fn = jax.jit(
+                step,
+                in_shardings=(ps, ps, batch_shard),
+                out_shardings=(ps, ps, NamedSharding(mesh, P())),
+            )
+            jitted[key] = fn
+        return fn(params, opt_state, batch)
 
     return sharded_step
 

@@ -46,23 +46,49 @@ def _unflatten(flat: Dict[str, np.ndarray]):
     return tree
 
 
+def _norm_path(path: str) -> str:
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save_params(path: str, cfg: LlamaConfig, params) -> None:
+    path = _norm_path(path)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     flat = _flatten(params)
-    np.savez(path, **flat)
+    # np.savez cannot represent ml_dtypes (bfloat16 degrades to raw void);
+    # store such arrays bit-cast to a same-width integer type and record the
+    # real dtype in the config sidecar.
+    dtypes = {}
+    store = {}
+    for k, v in flat.items():
+        name = str(v.dtype)
+        if v.dtype.kind == "V" or name not in np.sctypeDict:
+            dtypes[k] = name
+            store[k] = v.view(np.uint16 if v.dtype.itemsize == 2 else
+                              np.uint8)
+        else:
+            store[k] = v
+    np.savez(path, **store)
     cfg_dict = dataclasses.asdict(cfg)
     cfg_dict["dtype"] = jnp.dtype(cfg.dtype).name
+    cfg_dict["_array_dtypes"] = dtypes
     with open(path + ".config.json", "w") as f:
         json.dump(cfg_dict, f, indent=2)
 
 
 def load_params(path: str) -> Tuple[LlamaConfig, Dict]:
+    path = _norm_path(path)
     with open(path + ".config.json") as f:
         cfg_dict = json.load(f)
+    dtypes = cfg_dict.pop("_array_dtypes", {})
     cfg_dict["dtype"] = jnp.dtype(cfg_dict["dtype"]).type
     if cfg_dict.get("rope_scaling") is not None:
         cfg_dict["rope_scaling"] = tuple(cfg_dict["rope_scaling"])
     cfg = LlamaConfig(**cfg_dict)
     with np.load(path) as z:
-        flat = {k: z[k] for k in z.files}
+        flat = {}
+        for k in z.files:
+            arr = z[k]
+            if k in dtypes:
+                arr = arr.view(jnp.dtype(dtypes[k]))
+            flat[k] = arr
     return cfg, _unflatten(flat)

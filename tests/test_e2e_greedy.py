@@ -98,6 +98,25 @@ def test_prompt_of_length_one():
     np.testing.assert_array_equal(base.tokens, lade.tokens)
 
 
+def test_fused_projections_match_unfused():
+    mcfg = lt.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=512, dtype=jnp.float32)
+    params = lt.init_params(mcfg, jax.random.PRNGKey(0), scale=0.5)
+    lcfg = lt.LookaheadConfig(level=4, window_size=5, guess_set_size=4)
+    prompt = list(np.random.RandomState(0).randint(0, 128, size=14))
+    outs = []
+    for fuse in (False, True):
+        eng = lt.LookaheadEngine(
+            mcfg, params, lcfg,
+            lt.EngineConfig(max_seq_len=256, prefill_chunk=16,
+                            dtype="float32", fuse_projections=fuse))
+        assert ("wqkv" in eng.params["layers"]) == fuse
+        outs.append(eng.generate(prompt, 40).tokens)
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+
 def test_batched_generation_matches_individual():
     """Batched decode (vmapped loop, beyond the reference's batch==1
     assert) must reproduce each sequence's individual output, including

@@ -68,4 +68,5 @@ def test_pallas_plus_kv_quant_rejected():
             mcfg, params,
             lt.LookaheadConfig(level=4, window_size=5, guess_set_size=4,
                                attention_impl="pallas"),
-            lt.EngineConfig(max_seq_len=128, kv_quant="int8"))
+            lt.EngineConfig(max_seq_len=128, prefill_chunk=16,
+                            kv_quant="int8"))
