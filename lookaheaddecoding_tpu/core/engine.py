@@ -238,12 +238,15 @@ class LookaheadEngine:
         from ..config import SamplingConfig
         sampling = sampling or SamplingConfig()
         t0 = time.perf_counter()
-        loop = self._sample_loops.get(sampling.top_k)
+        use_top_p = sampling.top_p < 1.0
+        key = (sampling.top_k, use_top_p)
+        loop = self._sample_loops.get(key)
         if loop is None:
             fns = build_step_fns(self.mcfg, self.lcfg, self.ecfg, self.layout,
-                                 top_k=sampling.top_k, mesh=self.mesh)
+                                 top_k=sampling.top_k, use_top_p=use_top_p,
+                                 mesh=self.mesh)
             loop = jax.jit(fns.sample_loop, donate_argnums=(1,))
-            self._sample_loops[sampling.top_k] = loop
+            self._sample_loops[key] = loop
         state = self._prepare(prompt_ids, seed)
         eos = _eos_vec(eos_token_id)
         state = loop(

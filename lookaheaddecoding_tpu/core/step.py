@@ -53,6 +53,7 @@ def build_step_fns(
     ecfg: EngineConfig,
     layout: Layout,
     top_k: int = 0,
+    use_top_p: bool = True,
     mesh=None,
 ) -> StepFns:
     M = ecfg.max_seq_len
@@ -222,10 +223,12 @@ def build_step_fns(
                 # (reference decoding.py:484-545)
                 rng, k_verify = jax.random.split(rng)
                 probs_next = jax.nn.softmax(warp_logits(
-                    logits[OUT_ROW], temperature, top_k, top_p))
+                    logits[OUT_ROW], temperature, top_k, top_p,
+                    use_top_p=use_top_p))
                 if G > 0:
                     guess_probs = jax.nn.softmax(warp_logits(
-                        logits[GUESS_ROWS], temperature, top_k, top_p
+                        logits[GUESS_ROWS], temperature, top_k, top_p,
+                        use_top_p=use_top_p
                     ), axis=-1).reshape(G, GS, -1)
                     res = rejection_sample_verify(
                         probs_next, guess_probs, guesses, guess_valid,

@@ -23,13 +23,20 @@ def warp_logits(
     temperature: jax.Array,     # dynamic scalar
     top_k: int,                 # static; 0 disables
     top_p: jax.Array,           # dynamic scalar; 1.0 disables
+    use_top_p: bool = True,     # static: False elides the vocab sort
 ) -> jax.Array:
     """HF warper-equivalent chain: temperature, then top-k, then top-p
-    (the order transformers applies them)."""
+    (the order transformers applies them).
+
+    The nucleus filter needs a full-vocab sort per row, which dominates the
+    sampling step when traced unconditionally — callers whose SamplingConfig
+    has top_p == 1.0 pass ``use_top_p=False`` to skip it at compile time."""
     logits = logits / temperature
     if top_k and top_k > 0:
         kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
         logits = jnp.where(logits < kth, NEG_INF, logits)
+    if not use_top_p:
+        return logits
     # top-p (nucleus): keep the smallest prefix of descending-prob tokens
     # whose cumulative probability reaches top_p (crossing token kept, HF
     # TopPLogitsWarper semantics, min_tokens_to_keep=1).
