@@ -35,23 +35,36 @@ def make_train_step(
     seq_len: int,
     mesh: Optional[Mesh] = None,
     learning_rate: float = 1e-3,
+    optimizer: str = "adam",
 ) -> Callable:
     """Returns jitted ``train_step(params, opt_state, batch) ->
-    (params, opt_state, loss)`` (SGD with momentum). When ``mesh`` is given,
-    parameters follow the tensor-parallel layout of parallel/sharding.py and
-    the batch is sharded over ``dp`` — XLA lowers the cross-shard grads to
-    ICI collectives."""
+    (params, opt_state, loss)``. Adam by default (plain SGD stalls on
+    transformer attention patterns); ``optimizer="sgd"`` keeps the
+    dependency-free momentum variant. When ``mesh`` is given, parameters
+    follow the tensor-parallel layout of parallel/sharding.py and the batch
+    is sharded over ``dp`` — XLA lowers the cross-shard grads to ICI
+    collectives."""
     rope_cos, rope_sin = llama.rope_tables(cfg, seq_len)
+    if optimizer == "adam":
+        import optax
+        tx = optax.adam(learning_rate)
 
-    def step(params, opt_state, batch):
-        loss, grads = jax.value_and_grad(next_token_loss)(
-            params, cfg, batch, rope_cos, rope_sin)
-        new_m = jax.tree.map(
-            lambda m, g: 0.9 * m + g.astype(m.dtype), opt_state, grads)
-        new_params = jax.tree.map(
-            lambda p, m: (p - learning_rate * m.astype(jnp.float32)).astype(p.dtype),
-            params, new_m)
-        return new_params, new_m, loss
+        def step(params, opt_state, batch):
+            loss, grads = jax.value_and_grad(next_token_loss)(
+                params, cfg, batch, rope_cos, rope_sin)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+    else:
+        def step(params, opt_state, batch):
+            loss, grads = jax.value_and_grad(next_token_loss)(
+                params, cfg, batch, rope_cos, rope_sin)
+            new_m = jax.tree.map(
+                lambda m, g: 0.9 * m + g.astype(m.dtype), opt_state, grads)
+            new_params = jax.tree.map(
+                lambda p, m: (p - learning_rate * m.astype(jnp.float32)
+                              ).astype(p.dtype),
+                params, new_m)
+            return new_params, new_m, loss
 
     if mesh is None:
         return jax.jit(step)
@@ -67,10 +80,12 @@ def make_train_step(
                 lambda s: NamedSharding(mesh, s),
                 param_specs(cfg, params),
                 is_leaf=lambda s: isinstance(s, P))
+            # optimizer state shardings are inherited from the (sharded)
+            # state arrays themselves — adam's mu/nu mirror the params
             fn = jax.jit(
                 step,
-                in_shardings=(ps, ps, batch_shard),
-                out_shardings=(ps, ps, NamedSharding(mesh, P())),
+                in_shardings=(ps, None, batch_shard),
+                out_shardings=(ps, None, NamedSharding(mesh, P())),
             )
             jitted[key] = fn
         return fn(params, opt_state, batch)
@@ -78,5 +93,9 @@ def make_train_step(
     return sharded_step
 
 
-def init_opt_state(params):
+def init_opt_state(params, optimizer: str = "adam",
+                   learning_rate: float = 1e-3):
+    if optimizer == "adam":
+        import optax
+        return optax.adam(learning_rate).init(params)
     return jax.tree.map(lambda p: jnp.zeros_like(p, jnp.float32), params)
