@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--retrain", action="store_true")
     ap.add_argument("--max-new", type=int, default=256)
     ap.add_argument("--order", type=int, default=1, choices=(1, 2))
+    ap.add_argument("--pool-key-len", type=int, default=1, choices=(1, 2))
+    ap.add_argument("--active-vocab", type=int, default=128,
+                    help="order-2 corpus token range (must match training)")
     args = ap.parse_args()
     if args.order == 2 and args.ckpt.endswith("lade_synth_ckpt"):
         args.ckpt += "_o2"
@@ -47,13 +50,14 @@ def main():
             [sys.executable,
              os.path.join(os.path.dirname(__file__),
                           "applications", "train_synthetic.py"),
-             "--out", args.ckpt, "--order", str(args.order)]
+             "--out", args.ckpt, "--order", str(args.order),
+             "--active-vocab", str(args.active_vocab)]
             + (["--steps", "2500"] if args.order == 2 else []), check=True)
 
     mcfg, params = lt.load_params(args.ckpt)
     sampler = make_markov_sampler(
         mcfg.vocab_size, order=args.order,
-        active_vocab=128 if args.order == 2 else 0)
+        active_vocab=args.active_vocab if args.order == 2 else 0)
     prompt = sampler(1, 128, np.random.RandomState(7))[0].tolist()
 
     results = {}
@@ -62,7 +66,8 @@ def main():
         eng = lt.LookaheadEngine(
             mcfg, params,
             lt.LookaheadConfig(level=level, window_size=window,
-                               guess_set_size=guess, pool_from_prompt=True),
+                               guess_set_size=guess, pool_from_prompt=True,
+                               pool_key_len=args.pool_key_len),
             lt.EngineConfig(max_seq_len=1024, prefill_chunk=128))
         if base_tps is None:
             eng.generate_baseline(prompt, 8)
@@ -91,7 +96,7 @@ def main():
 
     best = max(results.values(), key=lambda r: r["speedup"])
     print(json.dumps({
-        "metric": f"learned_model_order{args.order}_greedy_lookahead_speedup_vs_ar",
+        "metric": f"learned_model_order{args.order}_k{args.pool_key_len}_greedy_lookahead_speedup_vs_ar",
         "value": best["speedup"],
         "unit": "x",
         "vs_baseline": round(best["speedup"] / 1.68, 3),

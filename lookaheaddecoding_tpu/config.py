@@ -39,6 +39,14 @@ class LookaheadConfig:
     # defines random_set / copy_from / order_copy_from / copy_from_last and
     # uses copy_from):
     window_init: str = "copy_from"
+    # N-gram pool key context length (beyond-reference extension): 1 keys
+    # candidates on the last confirmed token (reference semantics,
+    # decoding.py:37-78); 2 keys on the last TWO tokens (hashed), which
+    # disambiguates continuations whose next token depends on more context
+    # and sharply raises acceptance on such text.
+    pool_key_len: int = 1
+    # Hash-table rows for pool_key_len=2 (0 = 4x vocab, capped at 262144).
+    pool_hash_size: int = 0
     # Attention implementation for the composite step:
     #   "xla"    - dense additive mask built in-graph (reference eager path analog)
     #   "pallas" - fused kernel computing the composite mask in-kernel

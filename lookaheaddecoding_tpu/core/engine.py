@@ -29,7 +29,7 @@ import numpy as np
 from ..config import EngineConfig, LookaheadConfig
 from ..models import llama
 from .layout import Layout, build_layout
-from .pool import pool_init
+from .pool import pool_init, pool_table_rows
 from .state import DecodeState
 from .step import build_step_fns
 
@@ -156,9 +156,11 @@ class LookaheadEngine:
         out_buf[:P] = prompt
         k_cache, v_cache = llama.make_kv_cache(
             self.mcfg, M, quant=self.ecfg.kv_quant)
+        pool_rows = pool_table_rows(
+            self.mcfg.vocab_size, self.lcfg.pool_key_len,
+            self.lcfg.pool_hash_size)
         pool = pool_init(
-            self.mcfg.vocab_size, self.layout.guess_set_size,
-            self.layout.guess_size)
+            pool_rows, self.layout.guess_set_size, self.layout.guess_size)
         state = self._init_state(
             k_cache, v_cache, pool, jnp.asarray(out_buf),
             jnp.int32(P), jax.random.PRNGKey(seed),
@@ -167,7 +169,8 @@ class LookaheadEngine:
             from .pool import host_prompt_fill
             fill = host_prompt_fill(
                 prompt, self.lcfg.level, self.layout.guess_set_size,
-                pad_to=M)
+                pad_to=M, key_len=self.lcfg.pool_key_len,
+                table_rows=pool_rows)
             state = state._replace(pool=self._apply_fill(state.pool, *fill))
 
         # Chunked prefill of prompt[:-1]; the last prompt token rides in the

@@ -46,6 +46,25 @@ def pool_init(vocab_size: int, guess_set_size: int, guess_size: int) -> PoolStat
     )
 
 
+_BIGRAM_PRIME = 1000003
+
+
+def pool_table_rows(vocab_size: int, key_len: int, hash_size: int = 0) -> int:
+    """Key-table rows (excl. the trash row): token-indexed for key_len=1,
+    hashed bigram space for key_len=2."""
+    if key_len == 1:
+        return vocab_size
+    return hash_size or min(4 * vocab_size, 262144)
+
+
+def bigram_key(a, b, table_rows: int):
+    """Hash of the (second-to-last, last) token pair into the key table.
+    Collisions only ever inject extra (wrong) candidates — verification
+    rejects them — so a simple multiplicative hash suffices."""
+    return ((a.astype(jnp.uint32) * _BIGRAM_PRIME + b.astype(jnp.uint32))
+            % jnp.uint32(table_rows)).astype(jnp.int32)
+
+
 def pool_update(
     pool: PoolState,
     keys: jax.Array,     # [K] int32 key tokens
@@ -118,7 +137,7 @@ def pool_lookup(pool: PoolState, key: jax.Array) -> Tuple[jax.Array, jax.Array]:
 
 
 def host_prompt_fill(prompt_tokens, level: int, guess_set_size: int,
-                     pad_to: int):
+                     pad_to: int, key_len: int = 1, table_rows: int = 0):
     """Host-side computation of the prompt-seeded pool rows (reference
     fill_pool_with_prompt semantics, decoding.py:104-127: in-order LRU with
     dedupe-refresh and a G cap per key). The prompt is host data at prepare
@@ -135,8 +154,13 @@ def host_prompt_fill(prompt_tokens, level: int, guess_set_size: int,
     toks = [int(t) for t in prompt_tokens]
     table = {}
     clock = 1
-    for i in range(len(toks) - gs):
-        key = toks[i]
+    start = 0 if key_len == 1 else 1
+    for i in range(start, len(toks) - gs):
+        if key_len == 2:
+            key = int(((toks[i - 1] * _BIGRAM_PRIME + toks[i]) % (1 << 32))
+                      % table_rows)
+        else:
+            key = toks[i]
         tup = tuple(toks[i + 1:i + 1 + gs])
         ent = table.setdefault(key, [])
         for j, (t2, _) in enumerate(ent):

@@ -29,7 +29,8 @@ from ..config import EngineConfig, LookaheadConfig
 from ..models import llama
 from ..ops.sampling import rejection_sample_verify, warp_logits
 from .layout import Layout
-from .pool import PoolState, pool_lookup, pool_update
+from .pool import (PoolState, bigram_key, pool_lookup, pool_table_rows,
+                   pool_update)
 from .state import DecodeState
 
 NEG_INF = float("-inf")
@@ -152,7 +153,16 @@ def build_step_fns(
             kv_len = state.kv_len
             lst = state.out_buf[state.n_confirmed - 1]
 
-            guesses, guess_valid = pool_lookup(state.pool, lst)  # [G,GS],[G]
+            if lcfg.pool_key_len == 2:
+                rows = pool_table_rows(
+                    mcfg.vocab_size, 2, lcfg.pool_hash_size)
+                prev = state.out_buf[
+                    jnp.maximum(state.n_confirmed - 2, 0)]
+                lookup_key = bigram_key(prev, lst, rows)
+            else:
+                lookup_key = lst
+            guesses, guess_valid = pool_lookup(
+                state.pool, lookup_key)                   # [G,GS],[G]
             tokens = jnp.concatenate(
                 [lst[None], state.window, guesses.reshape(-1)]
             ).astype(jnp.int32)
@@ -283,22 +293,37 @@ def build_step_fns(
 
             # ---- pool harvest (reference update_token_map,
             # decoding.py:37-78): key ``lst`` takes window column 0; key
-            # L0[i-1] takes column i of the trajectory.
-            harvest_keys = jnp.concatenate([lst[None], state.window[: W - 1]])
+            # L0[i-1] takes column i of the trajectory. With bigram keys
+            # each column is keyed on the PAIR of tokens preceding it.
+            key1 = jnp.concatenate([lst[None], state.window[: W - 1]])
             traj = state.window[W - 1:].reshape(N - 2, W)     # levels 1..N-2
             harvest_tups = jnp.concatenate(
                 [traj.T, new_results[:, None]], axis=1)
             warmed_up = state.step_idx >= N - 2
             harvest_valid = jnp.full((W,), True) & warmed_up
+            if lcfg.pool_key_len == 2:
+                key0 = jnp.concatenate(
+                    [prev[None], lst[None], state.window[: W - 2]])
+                harvest_keys = bigram_key(key0, key1, rows)
+            else:
+                harvest_keys = key1
 
             if lcfg.pool_from_prompt:
                 # n-grams ending at each newly accepted token (reference
                 # append_new_generated_pool, decoding.py:80-101, :1177).
                 ends = state.n_confirmed + jnp.arange(GS, dtype=jnp.int32)
                 starts = ends - GS
-                gen_keys = out_buf[starts]
                 gen_tups = out_buf[starts[:, None] + 1 + jnp.arange(GS)[None, :]]
-                gen_valid = (jnp.arange(GS) <= max_hit) & (starts >= 0)
+                if lcfg.pool_key_len == 2:
+                    gen_keys = bigram_key(
+                        out_buf[jnp.maximum(starts - 1, 0)],
+                        out_buf[starts], rows)
+                    gen_valid = ((jnp.arange(GS) <= max_hit)
+                                 & (starts >= 1))
+                else:
+                    gen_keys = out_buf[starts]
+                    gen_valid = ((jnp.arange(GS) <= max_hit)
+                                 & (starts >= 0))
                 harvest_keys = jnp.concatenate([harvest_keys, gen_keys])
                 harvest_tups = jnp.concatenate([harvest_tups, gen_tups])
                 harvest_valid = jnp.concatenate([harvest_valid, gen_valid])
