@@ -98,8 +98,7 @@ class LookaheadEngine:
         if self.lcfg.attention_impl == "auto":
             # fused kernel needs the capacity to tile into its KV blocks
             use_pallas = (self.ecfg.max_seq_len >= 2048
-                          and self.ecfg.max_seq_len % 512 == 0
-                          and not self.ecfg.kv_quant)
+                          and self.ecfg.max_seq_len % 512 == 0)
             self.lcfg = dataclasses.replace(
                 self.lcfg,
                 attention_impl="pallas" if use_pallas else "xla")
@@ -116,10 +115,6 @@ class LookaheadEngine:
                 "max_seq_len exceeds the model's sliding window; contexts "
                 "within the window are exact full attention — reduce "
                 "max_seq_len or extend the mask builder")
-        if self.ecfg.kv_quant and self.lcfg.attention_impl == "pallas":
-            raise NotImplementedError(
-                "quantized KV with the fused Pallas kernel is not wired up "
-                "yet; use attention_impl='xla' with kv_quant")
 
         if self.ecfg.fuse_projections and mesh is None:
             self.params = llama.fuse_params(self.params)

@@ -264,21 +264,35 @@ def kv_cache_write(cache, new: jax.Array, start) :
 
 def fuse_params(params: Dict) -> Dict:
     """Fuse per-layer qkv and gate/up projections into single wide matmuls
-    (fewer, larger MXU ops — wins most at T=1 decode and for the int4
-    kernel's per-call overhead). Engine-side transform; checkpoints and the
-    HF converter keep the unfused layout. Plain (unquantized, unsharded)
-    params only — quantized dicts and mesh-sharded trees stay unfused."""
+    (fewer, larger MXU ops — wins most for the int4 kernel's per-call
+    overhead). Engine-side transform; checkpoints and the HF converter keep
+    the unfused layout. Works for plain arrays and quantized dicts
+    (output-channel concat commutes with per-output-channel quantization);
+    mesh-sharded trees stay unfused."""
     lp = params["layers"]
     if "wqkv" in lp:
         return params
-    if any(isinstance(lp[k], dict) for k in ("wq", "wk", "wv", "w_gate",
-                                             "w_up")):
+
+    def cat(ws):
+        if not isinstance(ws[0], dict):
+            if any(isinstance(w, dict) for w in ws):
+                return None   # mixed — leave unfused
+            return jnp.concatenate(ws, axis=-1)
+        qkey = "q" if "q" in ws[0] else "q4"
+        if not all(isinstance(w, dict) and qkey in w for w in ws):
+            return None
+        return {qkey: jnp.concatenate([w[qkey] for w in ws], axis=-1),
+                "scale": jnp.concatenate([w["scale"] for w in ws], axis=-1)}
+
+    wqkv = cat([lp["wq"], lp["wk"], lp["wv"]])
+    w_gate_up = cat([lp["w_gate"], lp["w_up"]])
+    if wqkv is None or w_gate_up is None:
         return params
     new_lp = {k: v for k, v in lp.items()
               if k not in ("wq", "wk", "wv", "w_gate", "w_up", "bq", "bk",
                            "bv")}
-    new_lp["wqkv"] = jnp.concatenate([lp["wq"], lp["wk"], lp["wv"]], axis=-1)
-    new_lp["w_gate_up"] = jnp.concatenate([lp["w_gate"], lp["w_up"]], axis=-1)
+    new_lp["wqkv"] = wqkv
+    new_lp["w_gate_up"] = w_gate_up
     if "bq" in lp:
         new_lp["bqkv"] = jnp.concatenate([lp["bq"], lp["bk"], lp["bv"]],
                                          axis=-1)

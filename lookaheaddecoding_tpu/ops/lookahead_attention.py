@@ -70,10 +70,17 @@ def _spec_visible(qi, rj, *, level, window, guess_size):
     return win_win | guess_q
 
 
-def _kernel(kv_len_ref, q_ref, k_ref, v_ref, o_ref,
-            acc_ref, m_ref, l_ref, *,
+def _kernel(kv_len_ref, q_ref, k_ref, v_ref, *rest,
             level, window, guess_size, s_len, block_k, n_blocks, n_heads,
-            scale):
+            scale, quantized):
+    if quantized:
+        # int8 KV: per-slot-per-head scales ride as extra operands and are
+        # applied AFTER the dots (exactly equivalent to dequantizing — the
+        # scales factor out of the contractions)
+        ks_ref, vs_ref, o_ref, acc_ref, m_ref, l_ref = rest
+    else:
+        o_ref, acc_ref, m_ref, l_ref = rest
+        ks_ref = vs_ref = None
     j = pl.program_id(0)
     kv_len = kv_len_ref[0]
     rows = q_ref.shape[1]
@@ -104,10 +111,15 @@ def _kernel(kv_len_ref, q_ref, k_ref, v_ref, o_ref,
             q = q_ref[g]                                 # [rows, D] (dtype)
             k = k_ref[g]                                 # [BK, D]
             v = v_ref[g]
+            if quantized:
+                k = k.astype(q.dtype)
+                v = v.astype(q.dtype)
 
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale
+            if quantized:
+                s = s * ks_ref[g][None, :]               # per-key scale
             s = jnp.where(visible, s, NEG_INF)
 
             m_prev = m_ref[g, :, :1]                     # [rows, 1]
@@ -121,6 +133,8 @@ def _kernel(kv_len_ref, q_ref, k_ref, v_ref, o_ref,
             alpha = jnp.where(m_new == NEG_INF, 0.0, alpha)
 
             l_ref[g] = alpha * l_ref[g] + jnp.sum(p, axis=1, keepdims=True)
+            if quantized:
+                p = p * vs_ref[g][None, :]               # per-value scale
             acc_ref[g] = acc_ref[g] * alpha + jax.lax.dot_general(
                 p.astype(q.dtype), v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -138,8 +152,8 @@ def _kernel(kv_len_ref, q_ref, k_ref, v_ref, o_ref,
     static_argnames=("level", "window", "guess_size", "block_k", "interpret"))
 def lookahead_attention(
     q: jax.Array,          # [S, Hq, D]
-    k: jax.Array,          # [M, Hkv, D] full cache buffer (already updated)
-    v: jax.Array,          # [M, Hkv, D]
+    k,                     # [M, Hkv, D] cache buffer, or int8 {"q","s"} dict
+    v,                     # same
     kv_len: jax.Array,     # scalar int32
     *,
     level: int,
@@ -152,7 +166,12 @@ def lookahead_attention(
 
     ``block_k=0`` auto-sizes the KV block (256-512 by context size); the
     per-head fp32 score tile bounds VMEM, so the budget is raised via
-    CompilerParams rather than shrinking blocks."""
+    CompilerParams rather than shrinking blocks. Quantized caches stream
+    int8 values with scales applied at the score/probability stage."""
+    quantized = isinstance(k, dict)
+    if quantized:
+        k_scale, v_scale = k["s"], v["s"]
+        k, v = k["q"], v["q"]
     s_len, hq, d = q.shape
     m, hkv, _ = k.shape
     rep = hq // hkv
@@ -175,21 +194,34 @@ def lookahead_attention(
     kernel = functools.partial(
         _kernel, level=level, window=window, guess_size=guess_size,
         s_len=s_len, block_k=block_k, n_blocks=n_blocks, n_heads=hkv,
-        scale=scale)
+        scale=scale, quantized=quantized)
 
     def kv_index(j, kv_len_ref):
         last_active = jnp.maximum(
             (kv_len_ref[0] + s_len + block_k - 1) // block_k - 1, 0)
         return (0, jnp.minimum(j, last_active), 0)
 
+    def kv_index2(j, kv_len_ref):
+        last_active = jnp.maximum(
+            (kv_len_ref[0] + s_len + block_k - 1) // block_k - 1, 0)
+        return (0, jnp.minimum(j, last_active))
+
+    in_specs = [
+        pl.BlockSpec((hkv, rows_pad, d), lambda j, kv_len_ref: (0, 0, 0)),
+        pl.BlockSpec((hkv, block_k, d), kv_index),
+        pl.BlockSpec((hkv, block_k, d), kv_index),
+    ]
+    operands = [qh, kh, vh]
+    if quantized:
+        in_specs += [pl.BlockSpec((hkv, block_k), kv_index2),
+                     pl.BlockSpec((hkv, block_k), kv_index2)]
+        operands += [k_scale[:, :, 0].T.astype(jnp.float32),   # [Hkv, M]
+                     v_scale[:, :, 0].T.astype(jnp.float32)]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec((hkv, rows_pad, d), lambda j, kv_len_ref: (0, 0, 0)),
-            pl.BlockSpec((hkv, block_k, d), kv_index),
-            pl.BlockSpec((hkv, block_k, d), kv_index),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (hkv, rows_pad, d), lambda j, kv_len_ref: (0, 0, 0)),
         scratch_shapes=[
@@ -206,7 +238,7 @@ def lookahead_attention(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
-    )(kv_len.reshape(1).astype(jnp.int32), qh, kh, vh)
+    )(kv_len.reshape(1).astype(jnp.int32), *operands)
 
     out = out[:, :rows, :].reshape(hkv, rep, s_len, d)
     return out.transpose(2, 0, 1, 3).reshape(s_len, hq * d)

@@ -57,16 +57,22 @@ def test_quantized_write_roundtrip_error_bounded():
     assert np.all(np.asarray(out["q"][:2]) == 0)   # untouched slots
 
 
-def test_pallas_plus_kv_quant_rejected():
+def test_pallas_with_int8_kv_matches_xla_with_int8_kv():
+    """The fused kernel's in-kernel scale application must reproduce the
+    XLA int8-KV path's outputs (scales factor out of the dots exactly)."""
     mcfg = lt.LlamaConfig(
-        vocab_size=64, hidden_size=32, intermediate_size=64,
-        num_hidden_layers=1, num_attention_heads=4, num_key_value_heads=2,
-        dtype=jnp.float32)
-    params = lt.init_params(mcfg, jax.random.PRNGKey(0))
-    with pytest.raises(NotImplementedError):
-        lt.LookaheadEngine(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=512, dtype=jnp.float32)
+    params = lt.init_params(mcfg, jax.random.PRNGKey(0), scale=0.5)
+    prompt = list(np.random.RandomState(0).randint(0, 128, size=14))
+    outs = []
+    for impl in ("xla", "pallas"):
+        eng = lt.LookaheadEngine(
             mcfg, params,
             lt.LookaheadConfig(level=4, window_size=5, guess_set_size=4,
-                               attention_impl="pallas"),
-            lt.EngineConfig(max_seq_len=128, prefill_chunk=16,
-                            kv_quant="int8"))
+                               pool_from_prompt=True, attention_impl=impl),
+            lt.EngineConfig(max_seq_len=256, prefill_chunk=16,
+                            dtype="float32", kv_quant="int8"))
+        outs.append(eng.generate(prompt, 40).tokens)
+    np.testing.assert_array_equal(outs[0], outs[1])

@@ -73,6 +73,27 @@ def test_quantized_engine_token_exact_vs_quantized_baseline(bits):
     assert lade.steps <= base.steps
 
 
+@pytest.mark.parametrize("bits", [8, 4])
+def test_fused_quantized_projections_match_unfused(bits):
+    mcfg = lt.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=512, dtype=jnp.float32)
+    params = lt.init_params(mcfg, jax.random.PRNGKey(0), scale=0.5)
+    qparams = quantize_params(params, bits=bits)
+    lcfg = lt.LookaheadConfig(level=4, window_size=5, guess_set_size=4)
+    prompt = list(np.random.RandomState(0).randint(0, 128, size=14))
+    outs = []
+    for fuse in (False, True):
+        eng = lt.LookaheadEngine(
+            mcfg, qparams, lcfg,
+            lt.EngineConfig(max_seq_len=256, prefill_chunk=16,
+                            dtype="float32", fuse_projections=fuse))
+        assert ("wqkv" in eng.params["layers"]) == fuse
+        outs.append(eng.generate(prompt, 40).tokens)
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+
 def test_int8_logits_close_to_fp():
     """INT8 weight-only should track the fp model closely (the 'perplexity
     within stated delta' regime)."""
