@@ -123,7 +123,7 @@ class LookaheadEngine:
                              mesh=mesh)
         self._fns = fns
         self._init_state = jax.jit(fns.init_state, donate_argnums=(0, 1, 3))
-        self._prefill = jax.jit(fns.prefill_chunk, donate_argnums=(1,))
+        self._prefill = jax.jit(fns.prefill_all, donate_argnums=(1,))
         self._loop = jax.jit(fns.decode_loop, donate_argnums=(1,))
         self._step = jax.jit(fns.decode_step, donate_argnums=(1,))
         self._baseline = jax.jit(fns.baseline_loop, donate_argnums=(1,))
@@ -168,24 +168,10 @@ class LookaheadEngine:
                 table_rows=pool_rows)
             state = state._replace(pool=self._apply_fill(state.pool, *fill))
 
-        # Chunked prefill of prompt[:-1]; the last prompt token rides in the
-        # first composite step's lst slot. The final chunk is overlap-aligned
-        # (start = P-1-C) instead of zero-padded so no write ever lands past
-        # the prompt region — a padded chunk could exceed max_seq_len and
-        # dynamic_update_slice would CLAMP its start, silently corrupting
-        # earlier prompt KV slots.
-        C = self.ecfg.prefill_chunk
-        n = P - 1
-        if n > 0:
-            starts = list(range(0, n, C))
-            if starts and starts[-1] + C > n and n >= C:
-                starts[-1] = n - C
-            for start in starts:
-                take = min(C, n - start)
-                chunk = np.zeros((C,), np.int32)
-                chunk[:take] = prompt[start: start + take]
-                state = self._prefill(
-                    self.params, state, jnp.asarray(chunk), jnp.int32(start))
+        # Whole-prompt prefill in one jitted call (prompt[:-1]; the final
+        # prompt token rides in the first composite step's lst slot).
+        if P > 1:
+            state = self._prefill(self.params, state)
         return state
 
     def _finalize(

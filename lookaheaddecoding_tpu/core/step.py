@@ -39,6 +39,7 @@ NEG_INF = float("-inf")
 class StepFns(NamedTuple):
     init_state: Callable
     prefill_chunk: Callable
+    prefill_all: Callable     # whole-prompt prefill, one jitted call
     decode_loop: Callable     # full greedy generation under lax.while_loop
     decode_step: Callable     # single greedy step (streaming / chat mode)
     sample_loop: Callable     # full sampling generation
@@ -141,6 +142,23 @@ def build_step_fns(
             k_cache=k_cache, v_cache=v_cache,
             kv_len=jnp.minimum(start + C, state.init_len - 1),
         )
+
+    def prefill_all(params, state: DecodeState):
+        """Whole-prompt prefill as ONE jitted call: a dynamic-trip
+        ``fori_loop`` over C-sized chunks of prompt[:-1] read straight from
+        ``out_buf``. The final chunk is overlap-aligned (start = n-C) so no
+        write lands past the prompt region; a short prompt (n < C) pads
+        within [0, C), whose tail slots stay masked until overwritten."""
+        n = state.init_len - 1
+        n_chunks = jnp.maximum(-(-n // C), 0)
+
+        def body(c, s):
+            start = jnp.minimum(c * C, jnp.maximum(n - C, 0))
+            tokens = jax.lax.dynamic_slice(s.out_buf, (start,), (C,))
+            return prefill_chunk(params, s, tokens, start)
+
+        state = jax.lax.fori_loop(0, n_chunks, body, state)
+        return state._replace(kv_len=jnp.maximum(n, 0))
 
     # ------------------------------------------------------------------
     # The composite lookahead step (shared by greedy & sampling modes)
@@ -432,6 +450,7 @@ def build_step_fns(
     return StepFns(
         init_state=init_state,
         prefill_chunk=prefill_chunk,
+        prefill_all=prefill_all,
         decode_loop=_loop(decode_step),
         decode_step=decode_step,
         sample_loop=_loop(sample_step),
