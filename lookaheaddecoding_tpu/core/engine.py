@@ -9,10 +9,10 @@ lade/utils.py:13-72, lade/decoding.py:15-34) with a self-contained engine:
                                                        guess_set_size=7))
     out = eng.generate(tok(prompt).input_ids, max_new_tokens=256)
 
-``generate`` runs prefill (chunked jitted calls) plus ONE jitted
+``generate`` runs one jitted whole-prompt prefill call plus ONE jitted
 ``lax.while_loop`` for the whole decode; the only host<->device traffic per
-call is the prompt upload and the final token download. A ``stream=True``
-mode steps one jitted iteration at a time for chat streaming (the analog of
+call is the prompt upload and the final token download. ``generate_stream``
+steps one jitted iteration at a time for chat streaming (the analog of
 the reference's CHAT=1 incremental printing, decoding.py:1180-1194).
 """
 

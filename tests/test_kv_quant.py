@@ -57,6 +57,18 @@ def test_quantized_write_roundtrip_error_bounded():
     assert np.all(np.asarray(out["q"][:2]) == 0)   # untouched slots
 
 
+def test_batched_generation_with_int8_kv():
+    """Quantized cache dicts must stack/vmap cleanly through
+    generate_batch and match individual outputs."""
+    eng, _, _ = tiny(kv_quant="int8")
+    rng = np.random.RandomState(9)
+    prompts = [list(rng.randint(0, 128, size=n)) for n in (10, 13)]
+    singles = [eng.generate(p, 20, seed=i) for i, p in enumerate(prompts)]
+    batch = eng.generate_batch(prompts, 20)
+    for s, b in zip(singles, batch):
+        np.testing.assert_array_equal(s.tokens, b.tokens)
+
+
 def test_pallas_with_int8_kv_matches_xla_with_int8_kv():
     """The fused kernel's in-kernel scale application must reproduce the
     XLA int8-KV path's outputs (scales factor out of the dots exactly)."""
