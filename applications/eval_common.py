@@ -95,11 +95,20 @@ def run_eval(
     eng, tok, log = make_engine(args)
     qs = questions[args.question_begin:args.question_end]
 
-    # warm-up (reference warms on the first question, eval_mtbench.py:272-289)
+    # warm-up on the SAME path that will be timed (reference warms on the
+    # first question, eval_mtbench.py:272-289)
     if qs:
         warm = tok(build_prompt(qs[0], []), truncation=True,
                    max_length=args.max_seq_len // 2).input_ids
-        eng.generate(warm, 8, eos_token_id=tok.eos_token_id)
+        if args.do_sample:
+            import lookaheaddecoding_tpu as lt
+            eng.generate_sample(
+                warm, 8, lt.SamplingConfig(temperature=args.temperature),
+                eos_token_id=tok.eos_token_id)
+        elif args.use_lade:
+            eng.generate(warm, 8, eos_token_id=tok.eos_token_id)
+        else:
+            eng.generate_baseline(warm, 8, eos_token_id=tok.eos_token_id)
 
     stats = []
     os.makedirs(os.path.dirname(os.path.abspath(answer_file)), exist_ok=True)

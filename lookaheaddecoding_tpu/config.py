@@ -84,6 +84,17 @@ class SamplingConfig:
     top_k: int = 0            # 0 = disabled
     top_p: float = 1.0        # 1.0 = disabled
 
+    def __post_init__(self):
+        # HF warpers reject temperature <= 0; a zero temperature would
+        # produce inf/NaN logits (use engine.generate for greedy decoding)
+        if not self.temperature > 0:
+            raise ValueError(
+                "temperature must be > 0 (use generate() for greedy)")
+        if not 0 < self.top_p <= 1.0:
+            raise ValueError("top_p must be in (0, 1]")
+        if self.top_k < 0:
+            raise ValueError("top_k must be >= 0")
+
     @property
     def is_greedy(self) -> bool:
         return False  # greedy mode is selected by the engine API, not here

@@ -47,7 +47,12 @@ def _eos_vec(eos_token_id):
     elif isinstance(eos_token_id, (int, np.integer)):
         ids = [int(eos_token_id)]
     else:
-        ids = [int(i) for i in eos_token_id][:MAX_EOS_IDS]
+        ids = [int(i) for i in eos_token_id]
+        if len(ids) > MAX_EOS_IDS:
+            # fail loud: silently dropping stop ids would make some chat
+            # templates run to max_new_tokens
+            raise ValueError(
+                f"at most {MAX_EOS_IDS} eos ids supported, got {len(ids)}")
     v = np.full((MAX_EOS_IDS,), -1, np.int32)
     v[: len(ids)] = ids
     return jnp.asarray(v)

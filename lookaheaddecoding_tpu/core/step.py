@@ -131,12 +131,28 @@ def build_step_fns(
         """Process prompt tokens [start, start+C) into the KV cache. The
         caller feeds prompt[:-1]; the final prompt token is the first
         composite step's ``lst`` slot (matching the reference where prefill
-        and the first lookahead forward are one call, decoding.py:937-939)."""
+        and the first lookahead forward are one call, decoding.py:937-939).
+        With the Pallas engine the causal mask is fused into the kernel
+        (the reference's flash path also covers prefill,
+        modeling_llama.py:1177-1178) and KV blocks past the live context
+        are skipped — no [C, M] dense mask is ever materialized."""
         positions = start + jnp.arange(C, dtype=jnp.int32)
-        mask = jnp.where(col_ids[None, :] <= positions[:, None], 0.0, NEG_INF)
+        if lcfg.attention_impl == "pallas":
+            mask = None
+            attn_meta = {
+                "kv_len": start, "level": N, "window": W, "guess_size": GS,
+                "causal": True,
+                "interpret": jax.default_backend() == "cpu",
+            }
+        else:
+            mask = jnp.where(
+                col_ids[None, :] <= positions[:, None], 0.0, NEG_INF)
+            attn_meta = None
         _, k_cache, v_cache = llama.forward(
             params, mcfg, tokens, positions, state.k_cache, state.v_cache,
             start, mask, rope_cos, rope_sin, logits_rows=jnp.arange(0),
+            attn_impl="pallas" if lcfg.attention_impl == "pallas" else "xla",
+            attn_meta=attn_meta,
         )
         return state._replace(
             k_cache=k_cache, v_cache=v_cache,
@@ -290,14 +306,14 @@ def build_step_fns(
                 src = kv_len + layout.guess_start + winner * GS
 
                 def commit(cache):
-                    # generic over plain [L, M, Hkv, D] buffers and
-                    # quantized {"q": [L,M,Hkv,D], "s": [L,M,Hkv,1]} trees
+                    # generic over plain [L, Hkv, M, D] buffers and
+                    # quantized {"q": [L,Hkv,M,D], "s": [L,Hkv,M,1]} trees
                     def one(a):
-                        sizes = (a.shape[0], GS) + a.shape[2:]
+                        sizes = a.shape[:2] + (GS,) + a.shape[3:]
                         blk = jax.lax.dynamic_slice(
-                            a, (0, src, 0, 0), sizes)
+                            a, (0, 0, src, 0), sizes)
                         return jax.lax.dynamic_update_slice(
-                            a, blk, (0, kv_len + 1, 0, 0))
+                            a, blk, (0, 0, kv_len + 1, 0))
                     return jax.tree.map(one, cache)
 
                 k_cache = commit(k_cache)

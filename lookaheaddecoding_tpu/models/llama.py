@@ -8,9 +8,12 @@ grouped-query attention via repeat_kv :383, decoder layer :811, full model
 
 - Parameters are a pytree of stacked per-layer arrays; the layer stack runs
   under ``jax.lax.scan`` so the whole forward traces once regardless of depth.
-- The KV cache is a preallocated ``[L, max_seq, n_kv_heads, head_dim]``
+- The KV cache is a preallocated ``[L, n_kv_heads, max_seq, head_dim]``
   buffer updated in-place with ``lax.dynamic_update_slice`` (the reference
   concatenates python tuples per layer per step, modeling_llama.py:513-516).
+  KV-head-major layout: both the XLA dense path and the fused Pallas kernel
+  consume the cache per KV head, so the hot loop never transposes the cache
+  — only the S-token per-step writes are transposed.
 - Attention takes an additive ``[S, max_seq]`` mask over absolute cache
   slots; the composite lookahead mask is pure index arithmetic against the
   dynamic scalar ``kv_len`` (see core/layout.py) instead of the reference's
@@ -207,12 +210,13 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
 
 def attention_xla(
     q: jax.Array,          # [T, Hq, D]
-    k,                     # [M, Hkv, D] array, or quantized {"q", "s"}
+    k,                     # [Hkv, M, D] array, or quantized {"q", "s"}
     v,                     # same
     mask: jax.Array,       # [T, M] additive fp32 (0 or -inf)
 ) -> jax.Array:
     """Dense masked attention over the whole cache buffer. fp32 logits and
-    softmax. GQA handled by reshaping q to [Hkv, rep, T, D].
+    softmax. GQA handled by reshaping q to [Hkv, rep, T, D]. The cache is
+    KV-head-major ([Hkv, M, D]) so no per-step cache transpose is needed.
 
     Quantized KV: per-slot-per-head scales are factored OUT of the dots —
     ``scores = (q . k_int) * s_k[m]`` and ``out = (probs * s_v[m]) . v_int``
@@ -221,40 +225,48 @@ def attention_xla(
     k, ks = (k["q"], k["s"]) if isinstance(k, dict) else (k, None)
     v, vs = (v["q"], v["s"]) if isinstance(v, dict) else (v, None)
     t, hq, d = q.shape
-    m, hkv, _ = k.shape
+    hkv, m, _ = k.shape
     rep = hq // hkv
-    qf = q.astype(jnp.float32).transpose(1, 0, 2).reshape(hkv, rep * t, d)
-    kf = k.astype(jnp.float32).transpose(1, 2, 0)          # [Hkv, D, M]
+    # Native-dtype MXU operands with fp32 accumulation: bf16 inputs run the
+    # MXU at full rate (an fp32 pre-cast would cut it ~8x); the contraction
+    # still accumulates in fp32 via preferred_element_type, and all
+    # softmax/scaling math below stays fp32.
+    qh = q.transpose(1, 0, 2).reshape(hkv, rep * t, d)
     scores = jnp.einsum(
-        "gtd,gdm->gtm", qf, kf, preferred_element_type=jnp.float32
+        "gtd,gmd->gtm", qh, k, preferred_element_type=jnp.float32
     ) / math.sqrt(d)
     if ks is not None:
-        scores = scores * ks[:, :, 0].T[:, None, :]        # [Hkv, 1, M]
+        scores = scores * ks[:, :, 0][:, None, :]          # [Hkv, 1, M]
     scores = scores.reshape(hkv, rep, t, m) + mask[None, None, :, :]
     probs = jax.nn.softmax(scores, axis=-1)
     if vs is not None:
-        probs = probs * vs[:, :, 0].T[:, None, None, :]    # [Hkv, 1, 1, M]
-    vf = v.astype(jnp.float32).transpose(1, 0, 2)          # [Hkv, M, D]
+        probs = probs * vs[:, :, 0][:, None, None, :]      # [Hkv, 1, 1, M]
+    p_dtype = q.dtype if v.dtype == jnp.int8 else v.dtype
     out = jnp.einsum(
-        "grtm,gmd->grtd", probs, vf, preferred_element_type=jnp.float32
+        "grtm,gmd->grtd", probs.astype(p_dtype), v,
+        preferred_element_type=jnp.float32,
     )
     return out.transpose(2, 0, 1, 3).reshape(t, hq * d)
 
 
 def kv_cache_write(cache, new: jax.Array, start) :
-    """Write [T, Hkv, D] values at cache slots [start, start+T). Plain bf16
-    buffers use a dynamic_update_slice; quantized buffers quantize
-    per-slot-per-head (symmetric int8) and update values + scales."""
+    """Write [T, Hkv, D] values at cache slots [start, start+T) of a
+    KV-head-major [Hkv, M, D] buffer. Plain bf16 buffers use a
+    dynamic_update_slice; quantized buffers quantize per-slot-per-head
+    (symmetric int8) and update values + scales."""
     if not isinstance(cache, dict):
-        return jax.lax.dynamic_update_slice(cache, new, (start, 0, 0))
+        return jax.lax.dynamic_update_slice(
+            cache, new.transpose(1, 0, 2), (0, start, 0))
     nf = new.astype(jnp.float32)
     amax = jnp.max(jnp.abs(nf), axis=-1, keepdims=True)    # [T, Hkv, 1]
     s = jnp.maximum(amax / 127.0, 1e-8)
     qv = jnp.clip(jnp.round(nf / s), -127, 127).astype(jnp.int8)
     return {
-        "q": jax.lax.dynamic_update_slice(cache["q"], qv, (start, 0, 0)),
+        "q": jax.lax.dynamic_update_slice(
+            cache["q"], qv.transpose(1, 0, 2), (0, start, 0)),
         "s": jax.lax.dynamic_update_slice(
-            cache["s"], s.astype(jnp.float32), (start, 0, 0)),
+            cache["s"], s.transpose(1, 0, 2).astype(jnp.float32),
+            (0, start, 0)),
     }
 
 
@@ -304,8 +316,8 @@ def forward(
     cfg: LlamaConfig,
     tokens: jax.Array,        # [T] int32 composite / prefill chunk
     positions: jax.Array,     # [T] int32 absolute positions
-    k_cache: jax.Array,       # [L, M, Hkv, D]
-    v_cache: jax.Array,       # [L, M, Hkv, D]
+    k_cache: jax.Array,       # [L, Hkv, M, D]
+    v_cache: jax.Array,       # [L, Hkv, M, D]
     write_start: jax.Array,   # scalar int32: cache slot of tokens[0]
     mask: Optional[jax.Array],  # [T, M] additive fp32 (None for fused attn)
     rope_cos: jax.Array,      # [M, D] fp32
@@ -314,12 +326,21 @@ def forward(
     attn_impl: str = "xla",
     attn_meta: Optional[Dict] = None,  # pallas: kv_len + W/N/GS + interpret
     shard_tokens=None,   # callable x->x: sharding constraint on the token axis
+    pp: int = 1,         # pipeline stages (layer-stage sharding over "pp")
+    mesh=None,           # required when pp > 1
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """One forward over the layer stack. Tokens are written into the cache at
     slots [write_start, write_start+T) in every layer; attention then reads
     the full buffer — under the additive ``mask`` (attn_impl="xla") or with
     the composite mask fused into the Pallas kernel (attn_impl="pallas",
-    the flash_attn_lade analog). Returns (logits, k_cache, v_cache)."""
+    the flash_attn_lade analog). Returns (logits, k_cache, v_cache).
+
+    ``pp > 1`` runs the stack pipeline-parallel: the stacked [L, ...] layer
+    params and KV caches are sharded over the "pp" mesh axis (layer-stage
+    sharding, the TPU-native form of the reference's accelerate
+    device_map="balanced" --use-pp mode, eval_mtbench.py:219-231); the
+    hidden state flows stage-to-stage via ``lax.ppermute`` inside a
+    partial-manual ``shard_map`` (tp/la stay GSPMD-auto inside)."""
     h = cfg.hidden_size
     hq, hkv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     t = tokens.shape[0]
@@ -338,51 +359,103 @@ def forward(
     lp = params["layers"]
     from ..ops.quant import qmatmul
 
-    def layer_fn(x, scanned):
-        p, kc, vc = scanned
-        y = rms_norm(x, p["input_norm"], cfg.rms_norm_eps)
-        if "wqkv" in p:      # fused projections (fuse_params)
-            qkv = qmatmul(y, p["wqkv"])
-            if cfg.attention_bias:
-                qkv = qkv + p["bqkv"]
-            q = qkv[:, : hq * d]
-            k = qkv[:, hq * d: (hq + hkv) * d]
-            vv = qkv[:, (hq + hkv) * d:]
+    def make_layer_fn(cos, sin, mask, write_start, kv_len):
+        # factory so the pp path can rebind the traced closure values to the
+        # shard_map-passed (replicated) arguments
+        if attn_meta is not None:
+            meta = dict(attn_meta, kv_len=kv_len)
         else:
-            q = qmatmul(y, p["wq"])
-            k = qmatmul(y, p["wk"])
-            vv = qmatmul(y, p["wv"])
-            if cfg.attention_bias:
-                q, k, vv = q + p["bq"], k + p["bk"], vv + p["bv"]
-        q = q.reshape(t, hq, d)
-        k = k.reshape(t, hkv, d)
-        vv = vv.reshape(t, hkv, d)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
-        kc = kv_cache_write(kc, k, write_start)
-        vc = kv_cache_write(vc, vv, write_start)
-        if attn_impl == "pallas":
-            from ..ops.lookahead_attention import lookahead_attention
-            attn = lookahead_attention(
-                q, kc, vc, attn_meta["kv_len"],
-                level=attn_meta["level"], window=attn_meta["window"],
-                guess_size=attn_meta["guess_size"],
-                interpret=attn_meta.get("interpret", False))
-        else:
-            attn = attention_xla(q, kc, vc, mask)          # [T, Hq*D]
-        x = x + qmatmul(attn.astype(cfg.dtype), p["wo"])
-        y = rms_norm(x, p["post_norm"], cfg.rms_norm_eps)
-        inter = cfg.intermediate_size
-        if "w_gate_up" in p:
-            gu = qmatmul(y, p["w_gate_up"])
-            gate_in, up = gu[:, :inter], gu[:, inter:]
-        else:
-            gate_in, up = qmatmul(y, p["w_gate"]), qmatmul(y, p["w_up"])
-        gate = jax.nn.silu(gate_in.astype(jnp.float32)).astype(cfg.dtype)
-        x = x + qmatmul(gate * up, p["w_down"])
-        return x, (kc, vc)
+            meta = None
 
-    x, (k_cache, v_cache) = jax.lax.scan(layer_fn, x, (lp, k_cache, v_cache))
+        def layer_fn(x, scanned):
+            p, kc, vc = scanned
+            y = rms_norm(x, p["input_norm"], cfg.rms_norm_eps)
+            if "wqkv" in p:      # fused projections (fuse_params)
+                qkv = qmatmul(y, p["wqkv"])
+                if cfg.attention_bias:
+                    qkv = qkv + p["bqkv"]
+                q = qkv[:, : hq * d]
+                k = qkv[:, hq * d: (hq + hkv) * d]
+                vv = qkv[:, (hq + hkv) * d:]
+            else:
+                q = qmatmul(y, p["wq"])
+                k = qmatmul(y, p["wk"])
+                vv = qmatmul(y, p["wv"])
+                if cfg.attention_bias:
+                    q, k, vv = q + p["bq"], k + p["bk"], vv + p["bv"]
+            q = q.reshape(t, hq, d)
+            k = k.reshape(t, hkv, d)
+            vv = vv.reshape(t, hkv, d)
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
+            kc = kv_cache_write(kc, k, write_start)
+            vc = kv_cache_write(vc, vv, write_start)
+            if attn_impl == "pallas":
+                from ..ops.lookahead_attention import lookahead_attention
+                attn = lookahead_attention(
+                    q, kc, vc, meta["kv_len"],
+                    level=meta["level"], window=meta["window"],
+                    guess_size=meta["guess_size"],
+                    causal=meta.get("causal", False),
+                    interpret=meta.get("interpret", False))
+            else:
+                attn = attention_xla(q, kc, vc, mask)      # [T, Hq*D]
+            x = x + qmatmul(attn.astype(cfg.dtype), p["wo"])
+            y = rms_norm(x, p["post_norm"], cfg.rms_norm_eps)
+            inter = cfg.intermediate_size
+            if "w_gate_up" in p:
+                gu = qmatmul(y, p["w_gate_up"])
+                gate_in, up = gu[:, :inter], gu[:, inter:]
+            else:
+                gate_in, up = qmatmul(y, p["w_gate"]), qmatmul(y, p["w_up"])
+            gate = jax.nn.silu(gate_in.astype(jnp.float32)).astype(cfg.dtype)
+            x = x + qmatmul(gate * up, p["w_down"])
+            return x, (kc, vc)
+
+        return layer_fn
+
+    kv_len_meta = attn_meta["kv_len"] if attn_meta is not None else None
+
+    if pp > 1:
+        if mesh is None:
+            raise ValueError("pp > 1 requires a mesh with a 'pp' axis")
+        from jax.sharding import PartitionSpec as P
+
+        def pp_stack(lp, kc, vc, x, cos, sin, mask, write_start, kv_len):
+            layer_fn = make_layer_fn(cos, sin, mask, write_start, kv_len)
+            stage = jax.lax.axis_index("pp")
+
+            def body(i, carry):
+                x, kc, vc = carry
+
+                def run(c):
+                    xx, kk, vv = c
+                    xx, (kk, vv) = jax.lax.scan(layer_fn, xx, (lp, kk, vv))
+                    return (xx, kk, vv)
+
+                x, kc, vc = jax.lax.cond(
+                    stage == i, run, lambda c: c, (x, kc, vc))
+                # hand the hidden state to the next stage (one hop of ICI)
+                x = jax.lax.ppermute(
+                    x, "pp", [(j, (j + 1) % pp) for j in range(pp)])
+                return (x, kc, vc)
+
+            x, kc, vc = jax.lax.fori_loop(0, pp, body, (x, kc, vc))
+            # after pp hops the fully-processed state has wrapped to stage 0;
+            # replicate it (other stages hold partially-processed leftovers)
+            x = jax.lax.psum(jnp.where(stage == 0, x, jnp.zeros_like(x)), "pp")
+            return x, kc, vc
+
+        x, k_cache, v_cache = jax.shard_map(
+            pp_stack, mesh=mesh,
+            in_specs=(P("pp"), P("pp"), P("pp"), P(), P(), P(), P(), P(), P()),
+            out_specs=(P(), P("pp"), P("pp")),
+            axis_names={"pp"}, check_vma=False,
+        )(lp, k_cache, v_cache, x, cos, sin, mask, write_start, kv_len_meta)
+    else:
+        layer_fn = make_layer_fn(cos, sin, mask, write_start, kv_len_meta)
+        x, (k_cache, v_cache) = jax.lax.scan(
+            layer_fn, x, (lp, k_cache, v_cache))
 
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     if logits_rows is not None:
@@ -457,10 +530,11 @@ NEG_INF_F32 = jnp.float32(-1e30)
 
 
 def make_kv_cache(cfg: LlamaConfig, max_seq: int, quant: Optional[str] = None):
-    """Preallocated cache buffers; ``quant="int8"`` stores values as int8
-    with per-slot-per-head fp32 scales (half/quarter the decode-time HBM
-    traffic of the bf16 cache as context grows)."""
-    shape = (cfg.num_hidden_layers, max_seq, cfg.num_key_value_heads, cfg.head_dim)
+    """Preallocated KV-head-major cache buffers [L, Hkv, M, D];
+    ``quant="int8"`` stores values as int8 with per-slot-per-head fp32
+    scales (half/quarter the decode-time HBM traffic of the bf16 cache as
+    context grows)."""
+    shape = (cfg.num_hidden_layers, cfg.num_key_value_heads, max_seq, cfg.head_dim)
     if quant is None:
         return jnp.zeros(shape, cfg.dtype), jnp.zeros(shape, cfg.dtype)
     if quant != "int8":

@@ -72,7 +72,7 @@ def _spec_visible(qi, rj, *, level, window, guess_size):
 
 def _kernel(kv_len_ref, q_ref, k_ref, v_ref, *rest,
             level, window, guess_size, s_len, block_k, n_blocks, n_heads,
-            scale, quantized):
+            scale, quantized, causal):
     if quantized:
         # int8 KV: per-slot-per-head scales ride as extra operands and are
         # applied AFTER the dots (exactly equivalent to dequantizing — the
@@ -96,16 +96,22 @@ def _kernel(kv_len_ref, q_ref, k_ref, v_ref, *rest,
 
     @pl.when(j <= last_active)
     def _compute():
-        # composite mask: computed once per KV block, shared by all heads
+        # mask: computed once per KV block, shared by all heads
         col = j * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (rows, block_k), 1)
         qi = jax.lax.broadcasted_iota(
             jnp.int32, (rows, block_k), 0) % s_len
-        rel = col - kv_len
-        visible = (col < kv_len) | (
-            (rel >= 0) & (rel < s_len)
-            & _spec_visible(qi, rel, level=level, window=window,
-                            guess_size=guess_size))
+        if causal:
+            # prefill: query qi sits at absolute slot kv_len + qi and sees
+            # every key at or before it (plain causal attention over the
+            # live context; blocks past it are skipped by the index map)
+            visible = col <= kv_len + qi
+        else:
+            rel = col - kv_len
+            visible = (col < kv_len) | (
+                (rel >= 0) & (rel < s_len)
+                & _spec_visible(qi, rel, level=level, window=window,
+                                guess_size=guess_size))
 
         for g in range(n_heads):          # static unroll over KV heads
             q = q_ref[g]                                 # [rows, D] (dtype)
@@ -149,10 +155,11 @@ def _kernel(kv_len_ref, q_ref, k_ref, v_ref, *rest,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("level", "window", "guess_size", "block_k", "interpret"))
+    static_argnames=("level", "window", "guess_size", "block_k", "interpret",
+                     "causal"))
 def lookahead_attention(
     q: jax.Array,          # [S, Hq, D]
-    k,                     # [M, Hkv, D] cache buffer, or int8 {"q","s"} dict
+    k,                     # [Hkv, M, D] cache buffer, or int8 {"q","s"} dict
     v,                     # same
     kv_len: jax.Array,     # scalar int32
     *,
@@ -161,22 +168,31 @@ def lookahead_attention(
     guess_size: int,
     block_k: int = 0,
     interpret: bool = False,
+    causal: bool = False,  # prefill mode: plain causal mask over the live
+                           # context (the reference's flash path also covers
+                           # prefill, modeling_llama.py:1177-1178)
 ) -> jax.Array:
     """Fused composite-mask attention. Returns [S, Hq*D] in q.dtype.
 
-    ``block_k=0`` auto-sizes the KV block (256-512 by context size); the
-    per-head fp32 score tile bounds VMEM, so the budget is raised via
-    CompilerParams rather than shrinking blocks. Quantized caches stream
-    int8 values with scales applied at the score/probability stage."""
+    The cache is KV-head-major ([Hkv, M, D]) so kernel operand blocks are
+    contiguous slices — no cache transpose on the hot path. ``block_k=0``
+    auto-sizes the KV block (256-512 by context size); the per-head fp32
+    score tile bounds VMEM, so the budget is raised via CompilerParams
+    rather than shrinking blocks. Quantized caches stream int8 values with
+    scales applied at the score/probability stage."""
     quantized = isinstance(k, dict)
     if quantized:
         k_scale, v_scale = k["s"], v["s"]
         k, v = k["q"], v["q"]
     s_len, hq, d = q.shape
-    m, hkv, _ = k.shape
+    hkv, m, _ = k.shape
     rep = hq // hkv
     if block_k == 0:
-        block_k = max(256, min(512, m // 8))
+        # Per-program overhead (~15us dispatch+setup) dominates decode-size
+        # kernels, so prefer FEW large KV blocks: one program covers M<=1024;
+        # beyond that, 1024-wide blocks keep the scalar-driven skip of
+        # not-yet-live cache regions while bounding program count.
+        block_k = min(m, 1024)
     block_k = min(block_k, m)
     assert m % block_k == 0, "cache capacity must be a multiple of block_k"
     n_blocks = m // block_k
@@ -188,13 +204,13 @@ def lookahead_attention(
     rows_pad = -(-rows // 8) * 8
     if rows_pad != rows:
         qh = jnp.pad(qh, ((0, 0), (0, rows_pad - rows), (0, 0)))
-    kh = k.transpose(1, 0, 2)          # [Hkv, M, D]
-    vh = v.transpose(1, 0, 2)
+    kh = k                             # [Hkv, M, D], already KV-head-major
+    vh = v
 
     kernel = functools.partial(
         _kernel, level=level, window=window, guess_size=guess_size,
         s_len=s_len, block_k=block_k, n_blocks=n_blocks, n_heads=hkv,
-        scale=scale, quantized=quantized)
+        scale=scale, quantized=quantized, causal=causal)
 
     def kv_index(j, kv_len_ref):
         last_active = jnp.maximum(
@@ -215,8 +231,8 @@ def lookahead_attention(
     if quantized:
         in_specs += [pl.BlockSpec((hkv, block_k), kv_index2),
                      pl.BlockSpec((hkv, block_k), kv_index2)]
-        operands += [k_scale[:, :, 0].T.astype(jnp.float32),   # [Hkv, M]
-                     v_scale[:, :, 0].T.astype(jnp.float32)]
+        operands += [k_scale[:, :, 0].astype(jnp.float32),     # [Hkv, M]
+                     v_scale[:, :, 0].astype(jnp.float32)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

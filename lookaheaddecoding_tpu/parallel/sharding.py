@@ -12,7 +12,8 @@ Axes:
   tp - tensor parallel (attention heads / MLP hidden / vocab)
   la - lookahead parallel: shards the speculative-token axis of the
        composite step (the reference's own DIST_WORKERS mode,
-       decoding.py:956-986) [reserved; engine integration in progress]
+       decoding.py:956-986); wired into the engine via a sharding
+       constraint on the composite token axis (core/step.py, EngineConfig.la)
 """
 
 from __future__ import annotations
@@ -102,5 +103,6 @@ def shard_params(params, mesh: Mesh, cfg: LlamaConfig):
 
 
 def kv_cache_spec() -> P:
-    """KV cache [L, M, Hkv, D]: shard the KV-head axis over tp."""
-    return P(None, None, "tp", None)
+    """KV cache [L, Hkv, M, D] (KV-head-major): shard the KV-head axis
+    over tp."""
+    return P(None, "tp", None, None)

@@ -47,14 +47,16 @@ def test_int8_kv_output_tracks_fp_kv():
 
 
 def test_quantized_write_roundtrip_error_bounded():
-    cache = {"q": jnp.zeros((8, 2, 4), jnp.int8),
-             "s": jnp.full((8, 2, 1), 1e-8, jnp.float32)}
+    # KV-head-major per-layer cache [Hkv=2, M=8, D=4]; new values [T=3, Hkv, D]
+    cache = {"q": jnp.zeros((2, 8, 4), jnp.int8),
+             "s": jnp.full((2, 8, 1), 1e-8, jnp.float32)}
     new = jnp.asarray(np.random.RandomState(2).randn(3, 2, 4), jnp.float32)
     out = llama.kv_cache_write(cache, new, jnp.int32(2))
-    deq = np.asarray(out["q"][2:5], np.float32) * np.asarray(out["s"][2:5])
-    scale = np.asarray(out["s"][2:5])
-    assert np.all(np.abs(deq - np.asarray(new)) <= scale / 2 + 1e-6)
-    assert np.all(np.asarray(out["q"][:2]) == 0)   # untouched slots
+    deq = np.asarray(out["q"][:, 2:5], np.float32) * np.asarray(out["s"][:, 2:5])
+    scale = np.asarray(out["s"][:, 2:5])
+    new_hm = np.asarray(new).transpose(1, 0, 2)
+    assert np.all(np.abs(deq - new_hm) <= scale / 2 + 1e-6)
+    assert np.all(np.asarray(out["q"][:, :2]) == 0)   # untouched slots
 
 
 def test_batched_generation_with_int8_kv():

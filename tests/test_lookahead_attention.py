@@ -44,8 +44,8 @@ def test_kernel_matches_dense_xla(kv_len, rep):
     rng = jax.random.PRNGKey(kv_len * 10 + rep)
     kq, kk, kv = jax.random.split(rng, 3)
     q = jax.random.normal(kq, (s, hq, d), jnp.float32)
-    k = jax.random.normal(kk, (m, hkv, d), jnp.float32)
-    v = jax.random.normal(kv, (m, hkv, d), jnp.float32)
+    k = jax.random.normal(kk, (hkv, m, d), jnp.float32)
+    v = jax.random.normal(kv, (hkv, m, d), jnp.float32)
 
     col = jnp.arange(m)
     spec_add = jnp.asarray(np.where(lay.spec_mask, 0.0, NEG), jnp.float32)
@@ -58,6 +58,45 @@ def test_kernel_matches_dense_xla(kv_len, rep):
         block_k=64, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-4)
+
+
+@pytest.mark.parametrize("start", [0, 1, 40, 150])
+def test_kernel_causal_prefill_matches_dense(start):
+    """Prefill mode: plain causal mask over the live context (query qi at
+    absolute slot start+qi sees keys <= its own slot)."""
+    c, hkv, rep, d, m = 24, 2, 4, 64, 256
+    hq = hkv * rep
+    rng = jax.random.PRNGKey(start)
+    kq, kk, kv = jax.random.split(rng, 3)
+    q = jax.random.normal(kq, (c, hq, d), jnp.float32)
+    k = jax.random.normal(kk, (hkv, m, d), jnp.float32)
+    v = jax.random.normal(kv, (hkv, m, d), jnp.float32)
+
+    col = jnp.arange(m)
+    pos = start + jnp.arange(c)
+    mask = jnp.where(col[None, :] <= pos[:, None], 0.0, NEG).astype(jnp.float32)
+    ref = attention_xla(q, k, v, mask)
+
+    out = lookahead_attention(
+        q, k, v, jnp.int32(start), level=4, window=5, guess_size=3,
+        block_k=64, causal=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-4)
+
+
+def test_e2e_pallas_prefill_matches_xla_prefill():
+    """Engine-level: long prompt through the Pallas prefill path must give
+    the same generation as the XLA dense prefill path."""
+    eng_p, nxt = _predictable_engine("pallas")
+    eng_x, _ = _predictable_engine("xla")
+    t = int(nxt[3])
+    prompt = [t]
+    for _ in range(49):   # longer than prefill_chunk=16: multiple chunks
+        t = int(nxt[t])
+        prompt.append(t)
+    out_p = eng_p.generate(prompt, 24)
+    out_x = eng_x.generate(prompt, 24)
+    np.testing.assert_array_equal(out_p.tokens, out_x.tokens)
 
 
 def _predictable_engine(attention_impl):
