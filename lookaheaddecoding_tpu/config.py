@@ -116,4 +116,5 @@ class EngineConfig:
     tp: int = 1                      # tensor-parallel axis over ICI
     la: int = 1                      # lookahead-parallel axis (speculative tokens)
     dp: int = 1                      # data/request parallel axis
+    pp: int = 1                      # pipeline stages (layer-stage sharding)
     donate_state: bool = True        # donate decode state buffers across steps

@@ -121,6 +121,14 @@ class LookaheadEngine:
                 "within the window are exact full attention — reduce "
                 "max_seq_len or extend the mask builder")
 
+        if self.ecfg.pp > 1:
+            if mesh is None or "pp" not in mesh.axis_names:
+                raise ValueError("pp > 1 requires a mesh with a 'pp' axis")
+            if self.mcfg.num_hidden_layers % self.ecfg.pp != 0:
+                raise ValueError(
+                    "num_hidden_layers must be divisible by pp "
+                    f"({self.mcfg.num_hidden_layers} % {self.ecfg.pp})")
+
         if self.ecfg.fuse_projections and mesh is None:
             self.params = llama.fuse_params(self.params)
 

@@ -75,6 +75,10 @@ def build_step_fns(
             return jax.lax.with_sharding_constraint(
                 x, NamedSharding(mesh, P("la", None)))
 
+    # pipeline stages: layer-stage sharding of the stacked params/caches
+    pp = ecfg.pp if mesh is not None else 1
+    pp_mesh = mesh if pp > 1 else None
+
     rope_cos, rope_sin = llama.rope_tables(mcfg, M)
     rel_pos = jnp.asarray(layout.rel_pos)
     spec_add = jnp.asarray(
@@ -152,7 +156,7 @@ def build_step_fns(
             params, mcfg, tokens, positions, state.k_cache, state.v_cache,
             start, mask, rope_cos, rope_sin, logits_rows=jnp.arange(0),
             attn_impl="pallas" if lcfg.attention_impl == "pallas" else "xla",
-            attn_meta=attn_meta,
+            attn_meta=attn_meta, pp=pp, mesh=pp_mesh,
         )
         return state._replace(
             k_cache=k_cache, v_cache=v_cache,
@@ -231,6 +235,7 @@ def build_step_fns(
                 attn_impl="pallas" if lcfg.attention_impl == "pallas" else "xla",
                 attn_meta=attn_meta,
                 shard_tokens=shard_tokens,
+                pp=pp, mesh=pp_mesh,
             )
 
             new_results = jnp.argmax(logits[INP_ROWS], axis=-1).astype(jnp.int32)
@@ -436,6 +441,7 @@ def build_step_fns(
         logits, k_cache, v_cache = llama.forward(
             params, mcfg, lst[None], kv_len[None] + 0, s.k_cache,
             s.v_cache, kv_len, mask, rope_cos, rope_sin,
+            pp=pp, mesh=pp_mesh,
         )
         nxt = jnp.argmax(logits[0]).astype(jnp.int32)
         out_buf = jax.lax.dynamic_update_slice(

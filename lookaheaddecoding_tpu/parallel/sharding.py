@@ -27,50 +27,52 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..models.llama import LlamaConfig
 
 
-def make_mesh(dp: int = 1, tp: int = 1, la: int = 1,
+def make_mesh(dp: int = 1, tp: int = 1, la: int = 1, pp: int = 1,
               devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
-    n = dp * tp * la
+    n = dp * pp * tp * la
     if len(devices) < n:
         raise ValueError(f"need {n} devices, have {len(devices)}")
-    arr = np.asarray(devices[:n]).reshape(dp, la, tp)
-    return Mesh(arr, ("dp", "la", "tp"))
+    arr = np.asarray(devices[:n]).reshape(dp, pp, la, tp)
+    return Mesh(arr, ("dp", "pp", "la", "tp"))
 
 
-def make_multihost_mesh(dp_hosts: int = 1, tp: int = 1, la: int = 1) -> Mesh:
+def make_multihost_mesh(dp_hosts: int = 1, tp: int = 1, la: int = 1,
+                        pp: int = 1) -> Mesh:
     """Pod-slice mesh: request/data parallelism rides the slow DCN axis
-    between hosts while tp/la collectives stay on intra-slice ICI (the
+    between hosts while pp/tp/la collectives stay on intra-slice ICI (the
     standard TPU layout; replaces the reference's per-GPU NCCL process
     groups, lade_distributed.py + utils.py:28-33). Requires a multi-host
     JAX runtime (jax.process_count() > 1)."""
     from jax.experimental import mesh_utils
 
-    per_host = tp * la
     devs = mesh_utils.create_hybrid_device_mesh(
-        mesh_shape=(1, la, tp),
-        dcn_mesh_shape=(dp_hosts, 1, 1),
+        mesh_shape=(1, pp, la, tp),
+        dcn_mesh_shape=(dp_hosts, 1, 1, 1),
     )
-    return Mesh(devs, ("dp", "la", "tp"))
+    return Mesh(devs, ("dp", "pp", "la", "tp"))
 
 
 _LAYER_SPECS = {
-    "input_norm": P(None, None),
-    "post_norm": P(None, None),
-    "wq": P(None, None, "tp"),
-    "wk": P(None, None, "tp"),
-    "wv": P(None, None, "tp"),
-    "wo": P(None, "tp", None),
-    "w_gate": P(None, None, "tp"),
-    "w_up": P(None, None, "tp"),
-    "w_down": P(None, "tp", None),
+    # leading axis is the stacked layer axis: sharded over "pp" (pipeline
+    # stages; size-1 axis = fully replicated when pp is unused)
+    "input_norm": P("pp", None),
+    "post_norm": P("pp", None),
+    "wq": P("pp", None, "tp"),
+    "wk": P("pp", None, "tp"),
+    "wv": P("pp", None, "tp"),
+    "wo": P("pp", "tp", None),
+    "w_gate": P("pp", None, "tp"),
+    "w_up": P("pp", None, "tp"),
+    "w_down": P("pp", "tp", None),
     # Qwen2-style qkv biases (column-parallel like their weights)
-    "bq": P(None, "tp"),
-    "bk": P(None, "tp"),
-    "bv": P(None, "tp"),
-    "bqkv": P(None, "tp"),
+    "bq": P("pp", "tp"),
+    "bk": P("pp", "tp"),
+    "bv": P("pp", "tp"),
+    "bqkv": P("pp", "tp"),
     # fused layouts (models/llama.py:fuse_params)
-    "wqkv": P(None, None, "tp"),
-    "w_gate_up": P(None, None, "tp"),
+    "wqkv": P("pp", None, "tp"),
+    "w_gate_up": P("pp", None, "tp"),
 }
 
 
@@ -103,6 +105,6 @@ def shard_params(params, mesh: Mesh, cfg: LlamaConfig):
 
 
 def kv_cache_spec() -> P:
-    """KV cache [L, Hkv, M, D] (KV-head-major): shard the KV-head axis
-    over tp."""
-    return P(None, "tp", None, None)
+    """KV cache [L, Hkv, M, D] (KV-head-major): layer axis over pp,
+    KV-head axis over tp."""
+    return P("pp", "tp", None, None)

@@ -89,6 +89,43 @@ def test_lookahead_parallel_axis_matches_replicated():
     assert out.compression_ratio >= 1.0
 
 
+def test_lookahead_parallel_axis_actually_partitions_compute():
+    """The 'la' axis must make XLA PARTITION the composite-token matmuls
+    (the reference's mode exists to scale per-step FLOPs across devices,
+    decoding.py:973-986) — not silently all-gather the tokens and run every
+    dot replicated. Compile the decode step under la=2 and assert the HLO
+    contains (a) ICI collectives and (b) dots over S/2-row operands."""
+    import jax.numpy as jnp
+
+    cfg = lt.LlamaConfig(
+        vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=8, num_key_value_heads=4,
+        max_position_embeddings=256, dtype=jnp.float32)
+    params = lt.init_params(cfg, jax.random.PRNGKey(0), scale=0.1)
+    lcfg = lt.LookaheadConfig(level=5, window_size=8, guess_set_size=4,
+                              pool_from_prompt=True)   # S = 48
+    mesh = make_mesh(la=2)
+    sharded = shard_params(params, mesh, cfg)
+    eng = lt.LookaheadEngine(
+        cfg, sharded, lcfg,
+        lt.EngineConfig(max_seq_len=128, prefill_chunk=16, dtype="float32",
+                        la=2), mesh=mesh)
+    assert eng.layout.seq_len == 48
+    state = eng._prepare(list(range(1, 13)), 0)
+    txt = eng._step.lower(
+        eng.params, state, jnp.int32(16), jnp.full((4,), -1, jnp.int32)
+    ).compile().as_text()
+
+    n_collectives = sum(txt.count(p) for p in
+                        ("all-gather", "all-reduce", "collective-permute"))
+    assert n_collectives > 0, "no ICI collectives in the la=2 step"
+    dots = [l for l in txt.splitlines() if " dot(" in l]
+    half_row_dots = [l for l in dots if "f32[24," in l]   # 48/2 rows
+    # the composite qkv/mlp projections must run on the LOCAL token shard
+    assert len(half_row_dots) >= len(dots) // 2, (
+        f"only {len(half_row_dots)}/{len(dots)} dots partitioned over la")
+
+
 def test_training_reduces_loss():
     cfg = small_cfg()
     params = lt.init_params(cfg, jax.random.PRNGKey(3), scale=0.2)
