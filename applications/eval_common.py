@@ -53,13 +53,80 @@ def base_parser() -> argparse.ArgumentParser:
     ap.add_argument("--stats-file", default=None,
                     help="JSON dump of per-turn [latency_s, tokens] pairs "
                          "(reference saves these as .pt, eval_mtbench.py:381)")
+    ap.add_argument("--synthetic", action="store_true",
+                    help="zero-egress mode: run the REAL engine end-to-end "
+                         "on a structured synthetic model with a byte-level "
+                         "tokenizer (no HF checkpoint needed); the text is "
+                         "meaningless but every harness/engine path is live")
     return ap
+
+
+class ByteTokenizer:
+    """Trivial reversible-enough tokenizer for the --synthetic eval mode:
+    token = 2 + byte (ids 0/1 reserved for pad/eos)."""
+
+    eos_token_id = 1
+
+    def __init__(self, vocab_size: int):
+        self.vocab_size = vocab_size
+
+    def __call__(self, text, truncation=False, max_length=None):
+        import types
+        ids = [2 + (b % (self.vocab_size - 2)) for b in text.encode()]
+        if truncation and max_length:
+            ids = ids[:max_length]
+        return types.SimpleNamespace(input_ids=ids)
+
+    def decode(self, ids, skip_special_tokens=True):
+        return bytes(
+            (int(i) - 2) % 256 for i in ids if int(i) >= 2
+        ).decode("latin1")
+
+
+def make_synthetic_engine(args):
+    """Small structured-weight model whose greedy decode follows a
+    deterministic token cycle (same construction as bench.py, scaled down)
+    — real prefill/decode/pool/verification, no network."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import lookaheaddecoding_tpu as lt
+
+    v, h = 258, 256
+    mcfg = lt.LlamaConfig(
+        vocab_size=v, hidden_size=h, intermediate_size=512,
+        num_hidden_layers=4, num_attention_heads=8, num_key_value_heads=4,
+        max_position_embeddings=args.max_seq_len, dtype=jnp.float32)
+    params = lt.init_params(mcfg, jax.random.PRNGKey(0), scale=0.002)
+    rng = np.random.RandomState(0)
+    embed = rng.randn(v, h).astype(np.float32)
+    embed /= np.linalg.norm(embed, axis=1, keepdims=True)
+    cycle = rng.choice(v, size=48, replace=False)
+    nxt = np.full(v, cycle[0], np.int64)
+    nxt[cycle] = np.roll(cycle, -1)
+    head = np.zeros((h, v), np.float32)
+    head[:, nxt[cycle]] = embed[cycle].T
+    params["embed"] = jnp.asarray(embed * np.sqrt(h), jnp.float32)
+    params["lm_head"] = jnp.asarray(head, jnp.float32)
+
+    log = lt.DecodeLog()
+    eng = lt.LookaheadEngine(
+        mcfg, params,
+        lt.LookaheadConfig(
+            level=args.level, window_size=args.window,
+            guess_set_size=args.guess, pool_from_prompt=True,
+            attention_impl="pallas" if args.use_flash else "xla"),
+        lt.EngineConfig(max_seq_len=args.max_seq_len, prefill_chunk=128),
+        log=log)
+    return eng, ByteTokenizer(v), log
 
 
 def make_engine(args):
     import jax.numpy as jnp
     import lookaheaddecoding_tpu as lt
 
+    if getattr(args, "synthetic", False):
+        return make_synthetic_engine(args)
     mcfg, params, tok = lt.load_pretrained(args.model_path, dtype=jnp.bfloat16)
     mesh = None
     if args.tp > 1:

@@ -115,11 +115,12 @@ class LookaheadEngine:
         if self.ecfg.prefill_chunk > self.ecfg.max_seq_len:
             raise ValueError("prefill_chunk must not exceed max_seq_len")
         if (self.mcfg.sliding_window is not None
-                and self.ecfg.max_seq_len > self.mcfg.sliding_window):
-            raise NotImplementedError(
-                "max_seq_len exceeds the model's sliding window; contexts "
-                "within the window are exact full attention — reduce "
-                "max_seq_len or extend the mask builder")
+                and self.layout.seq_len > self.mcfg.sliding_window):
+            # committed keys respect the window bound; WITHIN the composite
+            # block the speculative positions span < S, so S must fit
+            raise ValueError(
+                "composite step size exceeds the model's sliding window; "
+                "reduce level/window_size/guess_set_size")
 
         if self.ecfg.pp > 1:
             if mesh is None or "pp" not in mesh.axis_names:

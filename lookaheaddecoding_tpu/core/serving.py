@@ -30,25 +30,52 @@ class Request:
     eos_token_id: Optional[object] = None
     seed: int = 0
     request_id: Optional[object] = None
+    # per-request sampling knobs (sampling-mode engines only; None = the
+    # engine-level SamplingConfig defaults)
+    temperature: Optional[float] = None
+    top_p: Optional[float] = None
 
 
 class ContinuousBatchingEngine:
     def __init__(self, engine: LookaheadEngine, num_lanes: int = 4,
-                 steps_per_sync: int = 4):
+                 steps_per_sync: int = 4, sampling=None):
         """``steps_per_sync`` decode steps run per scheduling round-trip —
         amortizes host dispatch latency at the cost of up to K-1 steps of
-        admission delay for queued requests (finished lanes no-op)."""
+        admission delay for queued requests (finished lanes no-op).
+
+        ``sampling`` (a SamplingConfig) switches every lane to SpecInfer
+        rejection-sampling verification; temperature/top_p are then dynamic
+        PER LANE (each Request may override them), while top_k and the
+        top_p-enabled flag are compile-time from the config (same
+        specialization rule as LookaheadEngine.generate_sample)."""
         self.engine = engine
         self.num_lanes = num_lanes
-        fns = engine._fns
-        vstep = jax.vmap(fns.decode_step, in_axes=(None, 0, 0, 0))
+        self.sampling = sampling
+        if sampling is None:
+            fns = engine._fns
+            vstep = jax.vmap(fns.decode_step, in_axes=(None, 0, 0, 0))
 
-        def multi_step(params, batched, max_new, eos):
-            return jax.lax.fori_loop(
-                0, steps_per_sync,
-                lambda _, s: vstep(params, s, max_new, eos), batched)
+            def multi_step(params, batched, max_new, eos, temp, topp):
+                return jax.lax.fori_loop(
+                    0, steps_per_sync,
+                    lambda _, s: vstep(params, s, max_new, eos), batched)
+        else:
+            from .step import build_step_fns
+            fns = build_step_fns(
+                engine.mcfg, engine.lcfg, engine.ecfg, engine.layout,
+                top_k=sampling.top_k, use_top_p=sampling.top_p < 1.0,
+                mesh=engine.mesh)
+            vstep = jax.vmap(fns.sample_step, in_axes=(None, 0, 0, 0, 0, 0))
+
+            def multi_step(params, batched, max_new, eos, temp, topp):
+                return jax.lax.fori_loop(
+                    0, steps_per_sync,
+                    lambda _, s: vstep(params, s, max_new, eos, temp, topp),
+                    batched)
 
         self._vstep = jax.jit(multi_step, donate_argnums=(1,))
+        self._temp = np.ones((num_lanes,), np.float32)
+        self._topp = np.ones((num_lanes,), np.float32)
 
         def insert_lane(batched, lane_state, lane):
             return jax.tree.map(
@@ -103,6 +130,12 @@ class ContinuousBatchingEngine:
             self._batched = self._insert(self._batched, state, lane)
             self._max_new[lane] = req.max_new_tokens
             self._eos[lane] = np.asarray(_eos_vec(req.eos_token_id))
+            if self.sampling is not None:
+                self._temp[lane] = (self.sampling.temperature
+                                    if req.temperature is None
+                                    else req.temperature)
+                self._topp[lane] = (self.sampling.top_p if req.top_p is None
+                                    else req.top_p)
             self._active[lane] = req
 
     def _harvest(self) -> None:
@@ -138,7 +171,8 @@ class ContinuousBatchingEngine:
             return bool(self._queue)
         self._batched = self._vstep(
             self.engine.params, self._batched,
-            jnp.asarray(self._max_new), jnp.asarray(self._eos))
+            jnp.asarray(self._max_new), jnp.asarray(self._eos),
+            jnp.asarray(self._temp), jnp.asarray(self._topp))
         self._harvest()
         return bool(self._active or self._queue)
 

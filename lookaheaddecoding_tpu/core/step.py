@@ -79,6 +79,12 @@ def build_step_fns(
     pp = ecfg.pp if mesh is not None else 1
     pp_mesh = mesh if pp > 1 else None
 
+    # Mistral-style sliding-window attention: a query at absolute position p
+    # sees keys in (p - sw, p]. A window >= the cache capacity never binds.
+    SW = mcfg.sliding_window or 0
+    if SW >= M:
+        SW = 0
+
     rope_cos, rope_sin = llama.rope_tables(mcfg, M)
     rel_pos = jnp.asarray(layout.rel_pos)
     spec_add = jnp.asarray(
@@ -145,12 +151,14 @@ def build_step_fns(
             mask = None
             attn_meta = {
                 "kv_len": start, "level": N, "window": W, "guess_size": GS,
-                "causal": True,
+                "causal": True, "sliding_window": SW,
                 "interpret": jax.default_backend() == "cpu",
             }
         else:
-            mask = jnp.where(
-                col_ids[None, :] <= positions[:, None], 0.0, NEG_INF)
+            vis = col_ids[None, :] <= positions[:, None]
+            if SW:
+                vis &= col_ids[None, :] > positions[:, None] - SW
+            mask = jnp.where(vis, 0.0, NEG_INF)
             attn_meta = None
         _, k_cache, v_cache = llama.forward(
             params, mcfg, tokens, positions, state.k_cache, state.v_cache,
@@ -212,18 +220,21 @@ def build_step_fns(
                 mask = None
                 attn_meta = {
                     "kv_len": kv_len, "level": N, "window": W,
-                    "guess_size": GS,
+                    "guess_size": GS, "sliding_window": SW,
                     "interpret": jax.default_backend() == "cpu",
                 }
             else:
-                # Mask over absolute cache slots: committed region fully
-                # visible, speculative block gets the static
-                # within-composite mask, everything else -inf. (Replaces
-                # the reference's per-step host-built dense mask,
-                # modeling_llama.py:115-207.)
-                base = jnp.where(
-                    col_ids[None, :] < kv_len, 0.0, NEG_INF
-                ) * jnp.ones((S, 1), jnp.float32)
+                # Mask over absolute cache slots: committed region visible
+                # (bounded below by the sliding window when the model has
+                # one), speculative block gets the static within-composite
+                # mask, everything else -inf. (Replaces the reference's
+                # per-step host-built dense mask, modeling_llama.py:115-207.)
+                vis = (col_ids[None, :] < kv_len) & jnp.ones(
+                    (S, 1), bool)
+                if SW:
+                    vis &= (col_ids[None, :]
+                            > (kv_len + rel_pos)[:, None] - SW)
+                base = jnp.where(vis, 0.0, NEG_INF)
                 mask = jax.lax.dynamic_update_slice(
                     base, spec_add, (0, kv_len))
                 attn_meta = None
@@ -437,7 +448,10 @@ def build_step_fns(
                       temperature=1.0, top_p=1.0):
         kv_len = s.kv_len
         lst = s.out_buf[s.n_confirmed - 1]
-        mask = jnp.where(col_ids[None, :] <= kv_len, 0.0, NEG_INF)
+        vis = col_ids[None, :] <= kv_len
+        if SW:
+            vis &= col_ids[None, :] > kv_len - SW
+        mask = jnp.where(vis, 0.0, NEG_INF)
         logits, k_cache, v_cache = llama.forward(
             params, mcfg, lst[None], kv_len[None] + 0, s.k_cache,
             s.v_cache, kv_len, mask, rope_cos, rope_sin,

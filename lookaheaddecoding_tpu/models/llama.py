@@ -54,9 +54,11 @@ class LlamaConfig:
     tie_word_embeddings: bool = False
     # qkv projection biases (Qwen2-style checkpoints; plain LLaMA has none)
     attention_bias: bool = False
-    # Mistral/Qwen2 sliding-window attention width (None = full attention).
-    # Contexts shorter than the window are exactly full attention; the
-    # engine enforces max_seq_len <= sliding_window.
+    # Mistral/Qwen2 sliding-window attention width (None = full attention):
+    # a query at position p attends keys in (p - sw, p]. Applied by both
+    # attention paths (dense masks in core/step.py; in-kernel bound +
+    # below-window block skipping in ops/lookahead_attention.py). The
+    # composite step must fit inside the window (engine-enforced).
     sliding_window: Optional[int] = None
     dtype: Any = jnp.bfloat16
 
@@ -397,6 +399,7 @@ def forward(
                     level=meta["level"], window=meta["window"],
                     guess_size=meta["guess_size"],
                     causal=meta.get("causal", False),
+                    sliding_window=meta.get("sliding_window", 0),
                     interpret=meta.get("interpret", False))
             else:
                 attn = attention_xla(q, kc, vc, mask)      # [T, Hq*D]

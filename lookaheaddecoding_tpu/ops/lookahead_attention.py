@@ -70,9 +70,19 @@ def _spec_visible(qi, rj, *, level, window, guess_size):
     return win_win | guess_q
 
 
+def _rel_pos(qi, *, level, window, guess_size):
+    """Position offset of composite row qi relative to the last confirmed
+    token (mirrors core/layout.py rel_pos): window row -> lvl + pos within
+    level; guess token i -> 1 + i."""
+    nw = (level - 1) * window
+    win_rel = qi // window + qi % window
+    guess_rel = 1 + (qi - nw) % guess_size
+    return jnp.where(qi < nw, win_rel, guess_rel)
+
+
 def _kernel(kv_len_ref, q_ref, k_ref, v_ref, *rest,
             level, window, guess_size, s_len, block_k, n_blocks, n_heads,
-            scale, quantized, causal):
+            scale, quantized, causal, sliding_window):
     if quantized:
         # int8 KV: per-slot-per-head scales ride as extra operands and are
         # applied AFTER the dots (exactly equivalent to dequantizing — the
@@ -87,6 +97,12 @@ def _kernel(kv_len_ref, q_ref, k_ref, v_ref, *rest,
 
     last_active = jnp.maximum(
         (kv_len + s_len + block_k - 1) // block_k - 1, 0)
+    if sliding_window:
+        # no query sees keys below kv_len - sw + 1 -> skip whole blocks
+        first_active = jnp.maximum(
+            (kv_len - sliding_window + 1) // block_k, 0)
+    else:
+        first_active = 0
 
     @pl.when(j == 0)
     def _init():
@@ -94,7 +110,7 @@ def _kernel(kv_len_ref, q_ref, k_ref, v_ref, *rest,
         m_ref[...] = jnp.full_like(m_ref, NEG_INF)
         l_ref[...] = jnp.zeros_like(l_ref)
 
-    @pl.when(j <= last_active)
+    @pl.when((j <= last_active) & (j >= first_active))
     def _compute():
         # mask: computed once per KV block, shared by all heads
         col = j * block_k + jax.lax.broadcasted_iota(
@@ -106,9 +122,19 @@ def _kernel(kv_len_ref, q_ref, k_ref, v_ref, *rest,
             # every key at or before it (plain causal attention over the
             # live context; blocks past it are skipped by the index map)
             visible = col <= kv_len + qi
+            if sliding_window:
+                visible &= col > kv_len + qi - sliding_window
         else:
             rel = col - kv_len
-            visible = (col < kv_len) | (
+            committed = col < kv_len
+            if sliding_window:
+                # Mistral-style window: a query at absolute position p sees
+                # committed keys in (p - sw, p]. Within-composite visibility
+                # is unaffected (the engine enforces S <= sliding_window).
+                q_pos = kv_len + _rel_pos(qi, level=level, window=window,
+                                          guess_size=guess_size)
+                committed &= col > q_pos - sliding_window
+            visible = committed | (
                 (rel >= 0) & (rel < s_len)
                 & _spec_visible(qi, rel, level=level, window=window,
                                 guess_size=guess_size))
@@ -156,7 +182,7 @@ def _kernel(kv_len_ref, q_ref, k_ref, v_ref, *rest,
 @functools.partial(
     jax.jit,
     static_argnames=("level", "window", "guess_size", "block_k", "interpret",
-                     "causal"))
+                     "causal", "sliding_window"))
 def lookahead_attention(
     q: jax.Array,          # [S, Hq, D]
     k,                     # [Hkv, M, D] cache buffer, or int8 {"q","s"} dict
@@ -171,6 +197,7 @@ def lookahead_attention(
     causal: bool = False,  # prefill mode: plain causal mask over the live
                            # context (the reference's flash path also covers
                            # prefill, modeling_llama.py:1177-1178)
+    sliding_window: int = 0,  # Mistral-style attention window (0 = full)
 ) -> jax.Array:
     """Fused composite-mask attention. Returns [S, Hq*D] in q.dtype.
 
@@ -210,17 +237,24 @@ def lookahead_attention(
     kernel = functools.partial(
         _kernel, level=level, window=window, guess_size=guess_size,
         s_len=s_len, block_k=block_k, n_blocks=n_blocks, n_heads=hkv,
-        scale=scale, quantized=quantized, causal=causal)
+        scale=scale, quantized=quantized, causal=causal,
+        sliding_window=sliding_window)
+
+    def clamp_j(j, kv_len_ref):
+        last_active = jnp.maximum(
+            (kv_len_ref[0] + s_len + block_k - 1) // block_k - 1, 0)
+        j = jnp.minimum(j, last_active)
+        if sliding_window:
+            j = jnp.maximum(
+                j, jnp.maximum(
+                    (kv_len_ref[0] - sliding_window + 1) // block_k, 0))
+        return j
 
     def kv_index(j, kv_len_ref):
-        last_active = jnp.maximum(
-            (kv_len_ref[0] + s_len + block_k - 1) // block_k - 1, 0)
-        return (0, jnp.minimum(j, last_active), 0)
+        return (0, clamp_j(j, kv_len_ref), 0)
 
     def kv_index2(j, kv_len_ref):
-        last_active = jnp.maximum(
-            (kv_len_ref[0] + s_len + block_k - 1) // block_k - 1, 0)
-        return (0, jnp.minimum(j, last_active))
+        return (0, clamp_j(j, kv_len_ref))
 
     in_specs = [
         pl.BlockSpec((hkv, rows_pad, d), lambda j, kv_len_ref: (0, 0, 0)),

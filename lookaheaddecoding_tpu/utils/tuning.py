@@ -4,8 +4,15 @@ The reference ships static guidance only ("7B: LEVEL=5, WIN=7, GUESS=7",
 reference README.md:147-151, chatbot.py:11) — the right W/N/G depends on
 model size, hardware and workload repetitiveness. ``autotune`` measures a
 candidate grid on a sample prompt and returns the fastest configuration.
-Each candidate costs one compile of the decode loop, so this is a deploy-
-time tool; persist the winner alongside the model checkpoint.
+
+COST: each (level, window, guess) point changes the composite layout, so it
+compiles its own decode loop — 2-6 minutes per candidate on a remote-tunnel
+TPU cold, ~20 s warm via the persistent compile cache (enable
+``jax.config.update("jax_compilation_cache_dir", ...)`` before calling, as
+bench.py does; the cache makes re-tuning across processes cheap). The
+candidates cannot share one compilation: W/N/G are shape parameters of the
+whole jitted loop. This is a deploy-time tool; persist the winner alongside
+the model checkpoint.
 """
 
 from __future__ import annotations

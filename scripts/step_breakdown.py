@@ -73,7 +73,7 @@ def main():
     orig_lookup = pool_mod.pool_lookup
 
     def fake_lookup(pool, key):
-        g, gs = pool.table.shape[1], pool.table.shape[2]
+        g, gs = pool.values.shape[1], pool.values.shape[2]
         return (jnp.zeros((g, gs), jnp.int32), jnp.zeros((g,), bool))
     step_mod.pool_lookup = fake_lookup
     t = time_step(build(), "pool_lookup stubbed")

@@ -60,6 +60,55 @@ def test_kernel_matches_dense_xla(kv_len, rep):
                                atol=2e-5, rtol=2e-4)
 
 
+@pytest.mark.parametrize("kv_len", [0, 37, 200])
+@pytest.mark.parametrize("sw", [16, 100])
+def test_kernel_sliding_window_matches_dense(kv_len, sw):
+    """Composite mode with a Mistral-style window: committed keys bounded
+    below by (q_pos - sw); block skipping must not drop visible keys."""
+    from lookaheaddecoding_tpu.core.layout import build_layout as bl
+    lcfg = LookaheadConfig(level=4, window_size=5, guess_set_size=4)
+    lay = bl(lcfg)
+    s = lay.seq_len
+    hkv, d, m = 2, 64, 256
+    rng = jax.random.PRNGKey(kv_len + sw)
+    kq, kk, kv = jax.random.split(rng, 3)
+    q = jax.random.normal(kq, (s, 4 * hkv, d), jnp.float32)
+    k = jax.random.normal(kk, (hkv, m, d), jnp.float32)
+    v = jax.random.normal(kv, (hkv, m, d), jnp.float32)
+
+    col = np.arange(m)
+    q_pos = kv_len + lay.rel_pos
+    vis = (col[None, :] < kv_len) & (col[None, :] > q_pos[:, None] - sw)
+    mask = np.where(vis, 0.0, NEG).astype(np.float32)
+    # speculative block: static within-composite visibility
+    mask[:, kv_len:kv_len + s] = np.where(lay.spec_mask, 0.0, NEG)
+    ref = attention_xla(q, k, v, jnp.asarray(mask))
+
+    out = lookahead_attention(
+        q, k, v, jnp.int32(kv_len), level=4, window=5, guess_size=3,
+        block_k=64, sliding_window=sw, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-4)
+
+
+def test_kernel_causal_sliding_window_matches_dense():
+    c, hkv, d, m, start, sw = 24, 2, 64, 256, 100, 16
+    rng = jax.random.PRNGKey(7)
+    kq, kk, kv = jax.random.split(rng, 3)
+    q = jax.random.normal(kq, (c, 4 * hkv, d), jnp.float32)
+    k = jax.random.normal(kk, (hkv, m, d), jnp.float32)
+    v = jax.random.normal(kv, (hkv, m, d), jnp.float32)
+    col = jnp.arange(m)
+    pos = start + jnp.arange(c)
+    vis = (col[None, :] <= pos[:, None]) & (col[None, :] > pos[:, None] - sw)
+    ref = attention_xla(q, k, v, jnp.where(vis, 0.0, NEG).astype(jnp.float32))
+    out = lookahead_attention(
+        q, k, v, jnp.int32(start), level=4, window=5, guess_size=3,
+        block_k=64, causal=True, sliding_window=sw, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-4)
+
+
 @pytest.mark.parametrize("start", [0, 1, 40, 150])
 def test_kernel_causal_prefill_matches_dense(start):
     """Prefill mode: plain causal mask over the live context (query qi at

@@ -22,7 +22,10 @@ def jax_logits(mcfg, params, tokens, max_seq=64):
     cos, sin = llama.rope_tables(mcfg, max_seq)
     col = jnp.arange(max_seq)
     pos = jnp.arange(T, dtype=jnp.int32)
-    mask = jnp.where(col[None, :] <= pos[:, None], 0.0, NEG)
+    vis = col[None, :] <= pos[:, None]
+    if mcfg.sliding_window:
+        vis &= col[None, :] > pos[:, None] - mcfg.sliding_window
+    mask = jnp.where(vis, 0.0, NEG)
     logits, _, _ = llama.forward(
         params, mcfg, jnp.asarray(tokens, jnp.int32), pos, kc, vc,
         jnp.int32(0), mask, cos, sin)
@@ -71,13 +74,52 @@ def test_mistral_parity():
     assert mcfg.sliding_window == 4096
 
 
-def test_sliding_window_guard():
+def test_mistral_sliding_window_parity_beyond_window():
+    """HF-eager logits parity on a context LONGER than the sliding window
+    (VERDICT round-1 item 9: the old engine refused these contexts)."""
+    cfg = transformers.MistralConfig(
+        vocab_size=96, hidden_size=64, intermediate_size=112,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, sliding_window=8,
+        attn_implementation="eager")
+    torch.manual_seed(2)
+    hf = transformers.MistralForCausalLM(cfg).eval()
+    tokens = np.random.RandomState(1).randint(0, 96, size=24)
+    mcfg, _ = check_parity(hf, tokens)
+    assert mcfg.sliding_window == 8
+
+
+def test_sliding_window_lookahead_matches_baseline():
+    """Greedy lookahead with a binding sliding window must stay token-exact
+    vs the AR baseline under the SAME window, on both attention impls."""
+    mcfg = lt.LlamaConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        sliding_window=48, max_position_embeddings=256, dtype=jnp.float32)
+    params = lt.init_params(mcfg, jax.random.PRNGKey(0), scale=0.5)
+    prompt = list(np.random.RandomState(5).randint(0, 64, size=16))
+    outs = {}
+    for impl in ("xla", "pallas"):
+        eng = lt.LookaheadEngine(
+            mcfg, params,
+            lt.LookaheadConfig(level=4, window_size=5, guess_set_size=4,
+                               pool_from_prompt=True, attention_impl=impl),
+            lt.EngineConfig(max_seq_len=256, prefill_chunk=16,
+                            dtype="float32"))
+        base = eng.generate_baseline(prompt, 64)
+        lade = eng.generate(prompt, 64)
+        np.testing.assert_array_equal(base.tokens, lade.tokens)
+        outs[impl] = lade.tokens
+    np.testing.assert_array_equal(outs["xla"], outs["pallas"])
+
+
+def test_sliding_window_guard_composite_too_large():
     mcfg = lt.LlamaConfig(
         vocab_size=64, hidden_size=32, intermediate_size=64,
         num_hidden_layers=1, num_attention_heads=4, num_key_value_heads=2,
-        sliding_window=128, dtype=jnp.float32)
+        sliding_window=16, dtype=jnp.float32)
     params = lt.init_params(mcfg, jax.random.PRNGKey(0))
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="sliding window"):
         lt.LookaheadEngine(
             mcfg, params,
             lt.LookaheadConfig(level=4, window_size=5, guess_set_size=4),
