@@ -43,13 +43,29 @@ def make_multihost_mesh(dp_hosts: int = 1, tp: int = 1, la: int = 1,
     between hosts while pp/tp/la collectives stay on intra-slice ICI (the
     standard TPU layout; replaces the reference's per-GPU NCCL process
     groups, lade_distributed.py + utils.py:28-33). Requires a multi-host
-    JAX runtime (jax.process_count() > 1)."""
+    JAX runtime (jax.process_count() > 1).
+
+    On TPU pods the host boundary is the slice boundary and
+    ``create_hybrid_device_mesh`` reads it from ``slice_index``; CPU
+    multi-process runtimes (the gloo-backed test rig) have no slices, so
+    there the mesh is assembled by grouping devices on ``process_index`` —
+    the DCN boundary IS the process boundary."""
     from jax.experimental import mesh_utils
 
-    devs = mesh_utils.create_hybrid_device_mesh(
-        mesh_shape=(1, pp, la, tp),
-        dcn_mesh_shape=(dp_hosts, 1, 1, 1),
-    )
+    try:
+        devs = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(1, pp, la, tp),
+            dcn_mesh_shape=(dp_hosts, 1, 1, 1),
+        )
+    except ValueError:
+        all_devs = sorted(jax.devices(),
+                          key=lambda d: (d.process_index, d.id))
+        n = dp_hosts * pp * la * tp
+        if len(all_devs) < n:
+            raise ValueError(
+                f"need {n} devices for dp_hosts={dp_hosts} pp={pp} "
+                f"la={la} tp={tp}, have {len(all_devs)}")
+        devs = np.asarray(all_devs[:n]).reshape(dp_hosts, pp, la, tp)
     return Mesh(devs, ("dp", "pp", "la", "tp"))
 
 

@@ -73,6 +73,11 @@ def make_train_step(
     jitted = {}   # has_lm_head -> compiled step (jit built ONCE per variant)
 
     def sharded_step(params, opt_state, batch):
+        if jax.process_count() > 1 and not isinstance(batch, jax.Array):
+            # multi-controller runtime: a host numpy batch is this process's
+            # LOCAL shard of the dp axis (standard data-loader convention);
+            # assemble the global array before dispatch
+            batch = jax.make_array_from_process_local_data(batch_shard, batch)
         key = "lm_head" in params
         fn = jitted.get(key)
         if fn is None:

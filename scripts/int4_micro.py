@@ -32,13 +32,21 @@ def main():
     T = 8
     rng = np.random.RandomState(0)
 
-    def timeit(f, *args, n=50):
-        out = f(*args)
-        jax.block_until_ready(out)
+    def timeit(f, x, *ws, n=100):
+        # On-device dependency-chained loop: ONE dispatch per measurement so
+        # tunnel/dispatch overhead can't pollute the per-op number, and each
+        # iteration consumes the previous result so nothing is elided.
+        def body(xc, _):
+            y = f(xc, *ws)
+            bump = (y.astype(jnp.float32).sum() * 1e-30).astype(xc.dtype)
+            return xc + bump, ()
+
+        g = jax.jit(lambda x0: jax.lax.scan(body, x0, None, length=n)[0])
+        r = g(x)
+        jax.block_until_ready(r)
         t0 = time.perf_counter()
-        for _ in range(n):
-            out = f(*args)
-        jax.block_until_ready(out)
+        r = g(x)
+        jax.block_until_ready(r)
         return (time.perf_counter() - t0) / n * 1e6  # us
 
     # --- shift-unpack kernel variant
@@ -148,6 +156,23 @@ def main():
                 vmem_limit_bytes=96 * 1024 * 1024),
         )(x_lo, x_hi, q4, scale)
 
+    # XLA two-plane variant: two dots against elementwise nibble decodes of
+    # the SAME packed buffer — if XLA fuses convert(decode(q)) into the MXU
+    # operand load, weight HBM traffic stays at int4 width with XLA's
+    # small-T matmul scheduling (no pallas call overhead).
+    def xla2_matmul(x, q4, scale):
+        k2 = q4.shape[0]
+        x_lo, x_hi = x[:, :k2], x[:, k2:]
+        lo = ((q4 & 15) ^ 8) - 8
+        hi = q4 >> 4
+        acc = (jax.lax.dot_general(
+                   x_lo, lo.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+                   preferred_element_type=jnp.float32)
+               + jax.lax.dot_general(
+                   x_hi, hi.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+                   preferred_element_type=jnp.float32))
+        return (acc * scale).astype(x.dtype)
+
     for (K, N) in shapes:
         w = rng.randn(K, N).astype(np.float32) * 0.02
         x = jnp.asarray(rng.randn(T, K), jnp.bfloat16)
@@ -162,8 +187,9 @@ def main():
             x, wq8["q"], wq8["scale"])
         t_cur = timeit(functools.partial(qm.int4_matmul), x, wq4["q4"],
                        wq4["scale"])
+        t_xla2 = timeit(jax.jit(xla2_matmul), x, wq4["q4"], wq4["scale"])
         row = (f"K={K:5d} N={N:5d}  sol_i4={sol:6.1f}us  bf16={t_bf:7.1f}  "
-               f"int8={t_i8:7.1f}  int4_cur={t_cur:7.1f}")
+               f"int8={t_i8:7.1f}  int4_cur={t_cur:7.1f}  int4_xla2={t_xla2:7.1f}")
         bn = qm._pick_block(N)
         bk = qm._pick_block(K // 2, (512, 256))
         try:

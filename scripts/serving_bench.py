@@ -1,0 +1,121 @@
+"""Continuous-batching throughput benchmark on the real chip.
+
+Measures aggregate tok/s/chip for N requests served by the lane scheduler
+(`core/serving.py`) vs the same requests run sequentially through
+``LookaheadEngine.generate`` — the number VERDICT asked for (multi-lane
+tok/s/chip > single-lane).
+
+    python scripts/serving_bench.py [--lanes 4] [--requests 16] [--new 128]
+        [--steps-per-sync 8] [--sampling]
+
+Prints one JSON line to stdout.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--lanes", type=int, default=4)
+    ap.add_argument("--requests", type=int, default=16)
+    ap.add_argument("--new", type=int, default=128)
+    ap.add_argument("--steps-per-sync", type=int, default=8)
+    ap.add_argument("--sampling", action="store_true")
+    ap.add_argument("--level", type=int, default=7)
+    ap.add_argument("--window", type=int, default=20)
+    ap.add_argument("--guess", type=int, default=20)
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_lade"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    import lookaheaddecoding_tpu as lt
+    from lookaheaddecoding_tpu.core.serving import (
+        ContinuousBatchingEngine, Request)
+    from bench import build_predictable_tinyllama
+
+    log("devices:", jax.devices())
+    mcfg, params, nxt = build_predictable_tinyllama()
+
+    lcfg = lt.LookaheadConfig(
+        level=args.level, window_size=args.window, guess_set_size=args.guess,
+        pool_from_prompt=True)
+    ecfg = lt.EngineConfig(max_seq_len=1024, prefill_chunk=128)
+    eng = lt.LookaheadEngine(mcfg, params, lcfg, ecfg)
+
+    # distinct prompts: different offsets into the transition cycle
+    rng = np.random.RandomState(0)
+    prompts = []
+    for i in range(args.requests):
+        t = int(rng.randint(mcfg.vocab_size))
+        p = [t]
+        for _ in range(63):
+            t = int(nxt[t])
+            p.append(t)
+        prompts.append(p)
+
+    sampling = lt.SamplingConfig(temperature=0.8) if args.sampling else None
+
+    # --- sequential reference
+    gen = (lambda p: eng.generate_sample(p, args.new, sampling)) \
+        if args.sampling else (lambda p: eng.generate(p, args.new))
+    log("compiling sequential path...")
+    t0 = time.time()
+    gen(prompts[0])
+    log(f"  compile+warm: {time.time()-t0:.1f}s")
+    t0 = time.time()
+    seq_tokens = sum(gen(p).num_generated for p in prompts)
+    seq_s = time.time() - t0
+    seq_tps = seq_tokens / seq_s
+    log(f"  sequential: {seq_tokens} tok in {seq_s:.2f}s = {seq_tps:.1f} tok/s")
+
+    # --- continuous batching
+    srv = ContinuousBatchingEngine(
+        eng, num_lanes=args.lanes, steps_per_sync=args.steps_per_sync,
+        sampling=sampling)
+    reqs = [Request(p, args.new, request_id=i, seed=i)
+            for i, p in enumerate(prompts)]
+    log("compiling serving path...")
+    t0 = time.time()
+    srv.run([Request(prompts[0], 8, request_id="warm")])
+    log(f"  compile+warm: {time.time()-t0:.1f}s")
+    t0 = time.time()
+    results = srv.run(reqs)
+    srv_s = time.time() - t0
+    srv_tokens = sum(r.num_generated for r in results)
+    srv_tps = srv_tokens / srv_s
+    log(f"  serving[{args.lanes} lanes]: {srv_tokens} tok in {srv_s:.2f}s "
+        f"= {srv_tps:.1f} tok/s")
+
+    print(json.dumps({
+        "metric": "continuous_batching_aggregate_tokens_per_sec",
+        "value": round(srv_tps, 1),
+        "unit": "tok/s",
+        "vs_baseline": round(srv_tps / seq_tps, 3),
+        "detail": {
+            "sequential_tok_per_sec": round(seq_tps, 1),
+            "lanes": args.lanes,
+            "requests": args.requests,
+            "steps_per_sync": args.steps_per_sync,
+            "sampling": bool(args.sampling),
+            "mean_compression": round(
+                float(np.mean([r.compression_ratio for r in results])), 2),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()
