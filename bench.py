@@ -14,9 +14,25 @@ embedding transpose, making greedy decoding follow a deterministic
 token-transition cycle. The network still executes every real dense/attention
 FLOP; the construction only guarantees (a) decisive argmax margins (no
 numerical tie-flips) and (b) n-gram-predictable continuations so the
-verification branch exercises its accept path — the regime lookahead
-decoding targets. Step compression is capped by GUESS_SIZE (= LEVEL-1 = 6),
-the same cap the reference has (decoding.py:1077-1084).
+verification branch exercises its accept path. Step compression is capped by
+GUESS_SIZE (= LEVEL-1 = 6), the same cap the reference has
+(decoding.py:1077-1084).
+
+Beyond the headline, the run reports driver-visible variants in ``detail``:
+
+  realistic_compression — same 1.1B architecture with the layer-weight scale
+      raised so greedy decoding *deviates* from the transition cycle at
+      realistic rates: n-gram guesses miss, partial prefixes are accepted,
+      and the compression ratio lands in the reference's claimed 1.5-2.3
+      band (reference README.md:90) instead of at the cap. Reuses the
+      headline engine's compiled loops (only the params change).
+  int8_kv / int8_weights / int4_weights — quantized decode variants
+      (BASELINE.json north star). Each reports its own AR baseline from the
+      same quantized model.
+
+Variants are time-budgeted (env LADE_BENCH_BUDGET_S, default 2100s): when
+the budget is exhausted remaining variants are recorded as "skipped" so the
+headline number always lands.
 
 Output: ONE JSON line on stdout:
   {"metric": ..., "value": tok/s speedup (lade vs AR), "unit": "x",
@@ -30,12 +46,21 @@ import time
 
 import numpy as np
 
+T_START = time.time()
+BUDGET_S = float(os.environ.get("LADE_BENCH_BUDGET_S", "2100"))
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def build_predictable_tinyllama(seed=0):
+def build_predictable_tinyllama(seed=0, layer_scale=0.002):
+    """TinyLlama-1.1B-arch model whose greedy continuations follow a token
+    transition cycle. ``layer_scale`` controls how strongly the (random)
+    transformer layers perturb the embedding-dominated residual stream:
+    0.002 keeps the transition deterministic (fidelity ~1.0, compression at
+    the GUESS_SIZE cap); larger values make decoding context-dependent so
+    n-gram guesses miss at realistic rates."""
     import jax
     import jax.numpy as jnp
     import lookaheaddecoding_tpu as lt
@@ -48,7 +73,7 @@ def build_predictable_tinyllama(seed=0):
     # the token embedding (RMSNorm rescales block inputs to norm ~sqrt(h),
     # so layer contributions must be << embedding scale for the transition
     # structure to survive 22 layers).
-    params = lt.init_params(mcfg, jax.random.PRNGKey(seed), scale=0.002)
+    params = lt.init_params(mcfg, jax.random.PRNGKey(seed), scale=layer_scale)
 
     rng = np.random.RandomState(seed)
     h = mcfg.hidden_size
@@ -67,6 +92,49 @@ def build_predictable_tinyllama(seed=0):
     return mcfg, params, nxt
 
 
+def make_prompt(nxt, start=0, n=64):
+    t = int(nxt[start])
+    prompt = [t]
+    for _ in range(n - 1):
+        t = int(nxt[t])
+        prompt.append(t)
+    return prompt
+
+
+def time_generate(eng, prompt, n_new, baseline=False, reps=2):
+    """Compile+warm, then best-of-reps throughput."""
+    gen = eng.generate_baseline if baseline else eng.generate
+    gen(prompt, 8)
+    gen(prompt, n_new)          # full-length warm pass
+    best_tps, r = 0.0, None
+    for _ in range(reps):
+        t0 = time.time()
+        r = gen(prompt, n_new)
+        best_tps = max(best_tps, r.num_generated / (time.time() - t0))
+    return best_tps, r
+
+
+def run_pair(eng, prompt, n_new, label):
+    """LADE + AR on one engine; returns the detail dict."""
+    t0 = time.time()
+    lade_tps, r = time_generate(eng, prompt, n_new)
+    log(f"  [{label}] LADE: {r.num_generated} tok / {r.steps} steps "
+        f"(ratio {r.compression_ratio:.2f}) best {lade_tps:.1f} tok/s "
+        f"(compile+run {time.time()-t0:.0f}s)")
+    t0 = time.time()
+    ar_tps, rb = time_generate(eng, prompt, n_new, baseline=True)
+    log(f"  [{label}] AR: best {ar_tps:.1f} tok/s "
+        f"(compile+run {time.time()-t0:.0f}s)")
+    exact = bool(np.array_equal(r.tokens, rb.tokens))
+    return {
+        "lade_tokens_per_sec": round(lade_tps, 1),
+        "ar_tokens_per_sec": round(ar_tps, 1),
+        "speedup": round(lade_tps / ar_tps, 3),
+        "compression_ratio": round(r.compression_ratio, 2),
+        "token_exact": exact,
+    }, r, rb
+
+
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir",
@@ -81,40 +149,13 @@ def main():
                               pool_from_prompt=True)
     ecfg = lt.EngineConfig(max_seq_len=1024, prefill_chunk=128)
     eng = lt.LookaheadEngine(mcfg, params, lcfg, ecfg)
+    log(f"attention_impl resolved: {eng.lcfg.attention_impl}")
 
-    # prompt follows the model's transition map (a plausible context)
-    t = int(nxt[0])
-    prompt = [t]
-    for _ in range(63):
-        t = int(nxt[t])
-        prompt.append(t)
-
+    prompt = make_prompt(nxt)
     N_NEW = 256
-    log("compiling lookahead loop...")
-    t0 = time.time()
-    eng.generate(prompt, 8)
-    eng.generate(prompt, N_NEW)     # full-length warm pass
-    log(f"  lookahead compile+warm: {time.time()-t0:.1f}s")
-    t0 = time.time()
-    r = eng.generate(prompt, N_NEW)
-    lade_s = time.time() - t0
-    log(f"  LADE: {r.num_generated} tok / {r.steps} steps "
-        f"(ratio {r.compression_ratio:.2f}) in {lade_s:.2f}s "
-        f"= {r.num_generated/lade_s:.1f} tok/s")
 
-    log("compiling baseline loop...")
-    t0 = time.time()
-    eng.generate_baseline(prompt, 8)
-    eng.generate_baseline(prompt, N_NEW)
-    log(f"  baseline compile+warm: {time.time()-t0:.1f}s")
-    t0 = time.time()
-    rb = eng.generate_baseline(prompt, N_NEW)
-    base_s = time.time() - t0
-    log(f"  BASE: {rb.num_generated} tok in {base_s:.2f}s "
-        f"= {rb.num_generated/base_s:.1f} tok/s")
-
-    exact = bool(np.array_equal(r.tokens, rb.tokens))
-    log(f"  token-exact vs baseline: {exact}")
+    # ---------------- headline -----------------------------------------
+    headline, r, rb = run_pair(eng, prompt, N_NEW, "headline bf16")
 
     # bench integrity: generation must actually follow the transition map
     # (guards against residual-stream collapse trivializing compression)
@@ -123,24 +164,74 @@ def main():
                        for i in range(len(prompt) - 1, len(toks) - 1)])
     log(f"  transition fidelity: {follows:.3f}")
     assert follows > 0.95, f"synthetic model degenerated (fidelity {follows})"
+    assert headline["token_exact"], "lookahead output != AR output"
 
-    lade_tps = r.num_generated / lade_s
-    base_tps = rb.num_generated / base_s
-    speedup = lade_tps / base_tps
-    log(f"  speedup: {speedup:.2f}x (reference headline: 1.68x)")
+    detail = {
+        "config": "LEVEL=7 W=20 G=20 POOL_FROM_PROMPT=1, 256 new tokens",
+        "attention_impl": eng.lcfg.attention_impl,
+        **headline,
+    }
+    variants = {}
+
+    def budget_left():
+        return BUDGET_S - (time.time() - T_START)
+
+    # ---------------- realistic-compression variant ---------------------
+    # Same architecture/config -> the jitted loops are reused verbatim;
+    # only the parameter values change.
+    if budget_left() > 120:
+        try:
+            _, noisy_params, nxt2 = build_predictable_tinyllama(
+                seed=1, layer_scale=float(
+                    os.environ.get("LADE_BENCH_NOISY_SCALE", "0.012")))
+            eng.params = noisy_params
+            res, rr, _ = run_pair(eng, make_prompt(nxt2), N_NEW, "realistic")
+            toks = rr.tokens
+            fid = np.mean([toks[i + 1] == nxt2[toks[i]]
+                           for i in range(63, len(toks) - 1)])
+            res["transition_fidelity"] = round(float(fid), 3)
+            variants["realistic_compression"] = res
+        except Exception as e:  # pragma: no cover - bench resilience
+            variants["realistic_compression"] = {"error": str(e)[:200]}
+        finally:
+            eng.params = params
+    else:
+        variants["realistic_compression"] = "skipped (budget)"
+
+    # ---------------- quantized variants --------------------------------
+    def quant_variant(name, quant_bits=None, kv_quant=None):
+        if budget_left() < 240:
+            variants[name] = "skipped (budget)"
+            return
+        try:
+            p = params
+            if quant_bits:
+                from lookaheaddecoding_tpu.ops.quant import quantize_params
+                p = quantize_params(params, bits=quant_bits)
+            e = lt.LookaheadEngine(
+                mcfg, p, lcfg,
+                lt.EngineConfig(max_seq_len=1024, prefill_chunk=128,
+                                kv_quant=kv_quant))
+            res, _, _ = run_pair(e, prompt, N_NEW, name)
+            variants[name] = res
+        except Exception as e:  # pragma: no cover - bench resilience
+            variants[name] = {"error": str(e)[:200]}
+
+    quant_variant("int8_kv", kv_quant="int8")
+    quant_variant("int8_weights", quant_bits=8)
+    quant_variant("int4_weights", quant_bits=4)
+
+    detail["variants"] = variants
+    speedup = headline["speedup"]
+    log(f"  headline speedup: {speedup:.2f}x (reference headline: 1.68x); "
+        f"total bench time {time.time()-T_START:.0f}s")
 
     print(json.dumps({
         "metric": "tinyllama_1p1b_greedy_lookahead_speedup_vs_ar",
-        "value": round(speedup, 3),
+        "value": speedup,
         "unit": "x",
         "vs_baseline": round(speedup / 1.68, 3),
-        "detail": {
-            "lade_tokens_per_sec": round(lade_tps, 1),
-            "ar_tokens_per_sec": round(base_tps, 1),
-            "compression_ratio": round(r.compression_ratio, 2),
-            "token_exact": exact,
-            "config": "LEVEL=7 W=20 G=20 POOL_FROM_PROMPT=1, 256 new tokens",
-        },
+        "detail": detail,
     }))
 
 

@@ -222,6 +222,9 @@ def build_step_fns(
                     "kv_len": kv_len, "level": N, "window": W,
                     "guess_size": GS, "sliding_window": SW,
                     "interpret": jax.default_backend() == "cpu",
+                    # static within-composite mask: enables the kernel's
+                    # rolled-operand path (no per-layer mask recomputation)
+                    "spec_mask": jnp.asarray(layout.spec_mask),
                 }
             else:
                 # Mask over absolute cache slots: committed region visible

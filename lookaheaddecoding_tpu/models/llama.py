@@ -60,10 +60,18 @@ class LlamaConfig:
     # below-window block skipping in ops/lookahead_attention.py). The
     # composite step must fit inside the window (engine-enforced).
     sliding_window: Optional[int] = None
+    # Gemma-family knobs: tanh-approx GeGLU MLP, (1 + weight) RMSNorm,
+    # sqrt(hidden) embedding scaling, decoupled head_dim
+    hidden_act: str = "silu"          # "silu" | "gelu_pytorch_tanh" | "gelu"
+    rms_norm_offset: float = 0.0      # effective norm weight = offset + w
+    scale_embeddings: bool = False    # x *= sqrt(hidden_size) after embed
+    head_dim_override: Optional[int] = None
     dtype: Any = jnp.bfloat16
 
     @property
     def head_dim(self) -> int:
+        if self.head_dim_override is not None:
+            return self.head_dim_override
         return self.hidden_size // self.num_attention_heads
 
     @classmethod
@@ -84,6 +92,19 @@ class LlamaConfig:
                     "(supported: linear, dynamic)")
             if rs:
                 scaling = (kind, float(rs["factor"]))
+        model_type = getattr(hf_config, "model_type", "")
+        is_gemma = model_type == "gemma"
+        hidden_act = "silu"
+        if is_gemma:
+            # Gemma's effective activation (HF GemmaMLP: hidden_activation
+            # with a gelu_pytorch_tanh default, falling back to hidden_act)
+            hidden_act = (getattr(hf_config, "hidden_activation", None)
+                          or getattr(hf_config, "hidden_act", None)
+                          or "gelu_pytorch_tanh")
+        head_dim = getattr(hf_config, "head_dim", None)
+        if (head_dim is not None and head_dim
+                == hf_config.hidden_size // hf_config.num_attention_heads):
+            head_dim = None               # standard coupling; no override
         return cls(
             vocab_size=hf_config.vocab_size,
             hidden_size=hf_config.hidden_size,
@@ -100,8 +121,12 @@ class LlamaConfig:
             tie_word_embeddings=getattr(hf_config, "tie_word_embeddings", False),
             attention_bias=bool(
                 getattr(hf_config, "attention_bias", False)
-                or getattr(hf_config, "model_type", "") == "qwen2"),
+                or model_type == "qwen2"),
             sliding_window=getattr(hf_config, "sliding_window", None),
+            hidden_act=hidden_act,
+            rms_norm_offset=1.0 if is_gemma else 0.0,
+            scale_embeddings=is_gemma,
+            head_dim_override=head_dim,
             dtype=dtype,
         )
 
@@ -141,8 +166,9 @@ def init_params(cfg: LlamaConfig, key: jax.Array, scale: float = 0.02) -> Dict:
     params = {
         "embed": nrm(ks[0], (V, h)),
         "layers": {
-            "input_norm": jnp.ones((L, h), cfg.dtype),
-            "post_norm": jnp.ones((L, h), cfg.dtype),
+            # effective norm weight = rms_norm_offset + stored weight -> 1
+            "input_norm": jnp.full((L, h), 1.0 - cfg.rms_norm_offset, cfg.dtype),
+            "post_norm": jnp.full((L, h), 1.0 - cfg.rms_norm_offset, cfg.dtype),
             "wq": nrm(ks[1], (L, h, hq * d)),
             "wk": nrm(ks[2], (L, h, hkv * d)),
             "wv": nrm(ks[3], (L, h, hkv * d)),
@@ -151,7 +177,7 @@ def init_params(cfg: LlamaConfig, key: jax.Array, scale: float = 0.02) -> Dict:
             "w_up": nrm(ks[6], (L, h, I)),
             "w_down": nrm(ks[7], (L, I, h)),
         },
-        "final_norm": jnp.ones((h,), cfg.dtype),
+        "final_norm": jnp.full((h,), 1.0 - cfg.rms_norm_offset, cfg.dtype),
     }
     if cfg.attention_bias:
         params["layers"]["bq"] = jnp.zeros((L, hq * d), cfg.dtype)
@@ -166,12 +192,25 @@ def init_params(cfg: LlamaConfig, key: jax.Array, scale: float = 0.02) -> Dict:
 # Building blocks
 # ---------------------------------------------------------------------------
 
-def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
-    """fp32-statistics RMSNorm (reference LlamaRMSNorm, modeling_llama.py:213)."""
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float,
+             offset: float = 0.0) -> jax.Array:
+    """fp32-statistics RMSNorm (reference LlamaRMSNorm, modeling_llama.py:213).
+    ``offset`` = 1.0 gives the Gemma convention (effective weight 1 + w)."""
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
     out = xf * jax.lax.rsqrt(var + eps)
-    return (out * weight.astype(jnp.float32)).astype(x.dtype)
+    return (out * (offset + weight.astype(jnp.float32))).astype(x.dtype)
+
+
+def act_fn(cfg: "LlamaConfig"):
+    """Gate activation: SwiGLU for LLaMA-family, GeGLU for Gemma."""
+    if cfg.hidden_act == "silu":
+        return jax.nn.silu
+    if cfg.hidden_act == "gelu_pytorch_tanh":
+        return lambda x: jax.nn.gelu(x, approximate=True)
+    if cfg.hidden_act == "gelu":
+        return lambda x: jax.nn.gelu(x, approximate=False)
+    raise NotImplementedError(f"hidden_act '{cfg.hidden_act}'")
 
 
 def rope_inv_freq(cfg: LlamaConfig, seq_len: Optional[int] = None) -> np.ndarray:
@@ -348,6 +387,10 @@ def forward(
     t = tokens.shape[0]
 
     x = jnp.take(params["embed"], tokens, axis=0)          # [T, H]
+    if cfg.scale_embeddings:
+        # Gemma scales embeddings by sqrt(hidden); HF casts the scalar to
+        # model dtype before multiplying — matched for bitwise parity
+        x = x * jnp.asarray(math.sqrt(h), cfg.dtype)
     if shard_tokens is not None:
         # Lookahead parallelism: split the composite/speculative token axis
         # over the "la" mesh axis (the TPU-native form of the reference's
@@ -359,6 +402,7 @@ def forward(
     sin = jnp.take(rope_sin, positions, axis=0)
 
     lp = params["layers"]
+    act = act_fn(cfg)
     from ..ops.quant import qmatmul
 
     def make_layer_fn(cos, sin, mask, write_start, kv_len):
@@ -371,7 +415,8 @@ def forward(
 
         def layer_fn(x, scanned):
             p, kc, vc = scanned
-            y = rms_norm(x, p["input_norm"], cfg.rms_norm_eps)
+            y = rms_norm(x, p["input_norm"], cfg.rms_norm_eps,
+                         cfg.rms_norm_offset)
             if "wqkv" in p:      # fused projections (fuse_params)
                 qkv = qmatmul(y, p["wqkv"])
                 if cfg.attention_bias:
@@ -400,18 +445,20 @@ def forward(
                     guess_size=meta["guess_size"],
                     causal=meta.get("causal", False),
                     sliding_window=meta.get("sliding_window", 0),
-                    interpret=meta.get("interpret", False))
+                    interpret=meta.get("interpret", False),
+                    spec_mask=meta.get("spec_mask"))
             else:
                 attn = attention_xla(q, kc, vc, mask)      # [T, Hq*D]
             x = x + qmatmul(attn.astype(cfg.dtype), p["wo"])
-            y = rms_norm(x, p["post_norm"], cfg.rms_norm_eps)
+            y = rms_norm(x, p["post_norm"], cfg.rms_norm_eps,
+                         cfg.rms_norm_offset)
             inter = cfg.intermediate_size
             if "w_gate_up" in p:
                 gu = qmatmul(y, p["w_gate_up"])
                 gate_in, up = gu[:, :inter], gu[:, inter:]
             else:
                 gate_in, up = qmatmul(y, p["w_gate"]), qmatmul(y, p["w_up"])
-            gate = jax.nn.silu(gate_in.astype(jnp.float32)).astype(cfg.dtype)
+            gate = act(gate_in.astype(jnp.float32)).astype(cfg.dtype)
             x = x + qmatmul(gate * up, p["w_down"])
             return x, (kc, vc)
 
@@ -460,7 +507,8 @@ def forward(
         x, (k_cache, v_cache) = jax.lax.scan(
             layer_fn, x, (lp, k_cache, v_cache))
 
-    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps,
+                 cfg.rms_norm_offset)
     if logits_rows is not None:
         x = jnp.take(x, logits_rows, axis=0)
     head = params.get("lm_head")
@@ -488,6 +536,8 @@ def forward_train(
     rep = hq // hkv
 
     x = jnp.take(params["embed"], tokens, axis=0)          # [B, T, H]
+    if cfg.scale_embeddings:
+        x = x * jnp.asarray(math.sqrt(cfg.hidden_size), cfg.dtype)
     cos = rope_cos[:t]
     sin = rope_sin[:t]
     causal = jnp.tril(jnp.ones((t, t), bool))
@@ -501,7 +551,8 @@ def forward_train(
         return out.astype(z.dtype)
 
     def layer_fn(x, p):
-        y = rms_norm(x, p["input_norm"], cfg.rms_norm_eps)
+        y = rms_norm(x, p["input_norm"], cfg.rms_norm_eps,
+                     cfg.rms_norm_offset)
         q = att_rope(y, p["wq"], hq).reshape(b, t, hkv, rep, d)
         k = att_rope(y, p["wk"], hkv)
         vv = (y @ p["wv"]).reshape(b, t, hkv, d)
@@ -516,13 +567,15 @@ def forward_train(
             preferred_element_type=jnp.float32,
         ).reshape(b, t, hq * d)
         x = x + (attn.astype(cfg.dtype) @ p["wo"])
-        y = rms_norm(x, p["post_norm"], cfg.rms_norm_eps)
-        gate = jax.nn.silu((y @ p["w_gate"]).astype(jnp.float32)).astype(cfg.dtype)
+        y = rms_norm(x, p["post_norm"], cfg.rms_norm_eps,
+                     cfg.rms_norm_offset)
+        gate = act_fn(cfg)((y @ p["w_gate"]).astype(jnp.float32)).astype(cfg.dtype)
         x = x + ((gate * (y @ p["w_up"])) @ p["w_down"])
         return x, None
 
     x, _ = jax.lax.scan(layer_fn, x, params["layers"])
-    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps,
+                 cfg.rms_norm_offset)
     head = params.get("lm_head")
     if head is None:
         head = params["embed"].T

@@ -8,12 +8,19 @@ materializing a dense additive mask). Here the mask is derived analytically
 per KV block from integer iota arithmetic and one runtime scalar
 (``kv_len``; the W/N/G layout is compile-time), with:
 
-  - online-softmax accumulation over KV blocks (FlashAttention-2 style),
+  - online-softmax accumulation over KV blocks (FlashAttention-2 style) —
+    but when the cache fits ONE KV block (the common decode configuration)
+    a specialized kernel computes the softmax directly with no VMEM
+    scratch, no running-max/denominator bookkeeping and no accumulator
+    round-trips,
   - ALL KV heads processed per program (static unroll) so the grid is just
     the KV-block axis — per-program overhead, not FLOPs, dominates this
     kernel at decode sizes, and the composite mask is computed once per
     block and shared across heads,
-  - grouped-query attention folded in (q rows = rep * S per KV head),
+  - grouped-query attention folded in with NO relayout: q arrives as the
+    pure reshape [S, Hkv, rep, D] of the projection output and the kernel
+    slices the KV-head axis per head (row id = s*rep + r, qi = row // rep),
+    so neither the input nor the output needs a transpose,
   - KV-block skipping: blocks past ``kv_len + S`` are clamped to the last
     active block via the scalar-prefetched index map and their compute is
     predicated away, so decode cost scales with the *live* context length,
@@ -80,9 +87,115 @@ def _rel_pos(qi, *, level, window, guess_size):
     return jnp.where(qi < nw, win_rel, guess_rel)
 
 
+def _block_mask(kv_len, j, *, rows, rep, block_k, s_len, level, window,
+                guess_size, causal, sliding_window):
+    """[rows, block_k] visibility for KV block j; computed once per block
+    and shared by every KV head. Row id = s*rep + r (s-major GQA layout)."""
+    col = j * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (rows, block_k), 1)
+    qi = jax.lax.broadcasted_iota(jnp.int32, (rows, block_k), 0) // rep
+    if causal:
+        # prefill: query qi sits at absolute slot kv_len + qi and sees
+        # every key at or before it (plain causal attention over the
+        # live context; blocks past it are skipped by the index map)
+        visible = col <= kv_len + qi
+        if sliding_window:
+            visible &= col > kv_len + qi - sliding_window
+    else:
+        rel = col - kv_len
+        committed = col < kv_len
+        if sliding_window:
+            # Mistral-style window: a query at absolute position p sees
+            # committed keys in (p - sw, p]. Within-composite visibility
+            # is unaffected (the engine enforces S <= sliding_window).
+            q_pos = kv_len + _rel_pos(qi, level=level, window=window,
+                                      guess_size=guess_size)
+            committed &= col > q_pos - sliding_window
+        visible = committed | (
+            (rel >= 0) & (rel < s_len)
+            & _spec_visible(qi, rel, level=level, window=window,
+                            guess_size=guess_size))
+    return visible
+
+
+def _head_q(q_ref, g):
+    """[S_pad, Hkv, rep, D] ref -> [S_pad*rep, D] rows for KV head g
+    (pure leading-dim collapse; no relayout)."""
+    blk = q_ref[:, g]                       # [S_pad, rep, D]
+    return blk.reshape(blk.shape[0] * blk.shape[1], blk.shape[2])
+
+
+def _kernel_single(kv_len_ref, q_ref, k_ref, v_ref, *rest,
+                   level, window, guess_size, s_len, block_k, n_heads, rep,
+                   scale, quantized, causal, sliding_window, has_spec):
+    """Whole cache in ONE KV block: direct softmax, no scratch state."""
+    if has_spec:
+        spec_ref, *rest = rest
+    if quantized:
+        ks_ref, vs_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
+        ks_ref = vs_ref = None
+    kv_len = kv_len_ref[0]
+    rows = q_ref.shape[0] * q_ref.shape[2]
+
+    if has_spec:
+        # The within-composite mask is STATIC — it rides in as a [S_pad, M]
+        # i32 operand (Mosaic's dynamic rotate is 32-bit-only) with the spec
+        # block at columns [0, S) and is placed at the live offset with ONE
+        # dynamic lane roll; ~3 vector ops on the un-expanded [S_pad, M]
+        # tile instead of the ~20-op iota derivation on [rows, M]. The mask
+        # would otherwise be recomputed per LAYER (the XLA path computes its
+        # dense mask once per step). The rep (GQA) axis is applied by a free
+        # leading-dim split of the score tile.
+        sm2 = pltpu.roll(spec_ref[...], kv_len, axis=1)     # [S_pad, BK]
+        col2 = jax.lax.broadcasted_iota(jnp.int32, sm2.shape, 1)
+        visible = ((col2 < kv_len) | (sm2 != 0))[:, None, :]
+    else:
+        visible = _block_mask(
+            kv_len, 0, rows=rows, rep=rep, block_k=block_k, s_len=s_len,
+            level=level, window=window, guess_size=guess_size, causal=causal,
+            sliding_window=sliding_window)
+
+    for g in range(n_heads):              # static unroll over KV heads
+        q = _head_q(q_ref, g)                            # [rows, D]
+        k = k_ref[g]                                     # [BK, D]
+        v = v_ref[g]
+        if quantized:
+            k = k.astype(q.dtype)
+            v = v.astype(q.dtype)
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        if quantized:
+            s = s * ks_ref[g][None, :]                   # per-key scale
+        if has_spec:
+            # [rows, BK] -> [S_pad, rep, BK] (free leading-dim split) so the
+            # un-expanded mask broadcasts over the GQA rep axis
+            s = jnp.where(
+                visible, s.reshape(q_ref.shape[0], rep, block_k), NEG_INF
+            ).reshape(rows, block_k)
+            m = jnp.max(s, axis=1, keepdims=True)
+            p = jnp.exp(s - jnp.where(m == NEG_INF, 0.0, m))  # exp(-inf)=0
+        else:
+            s = jnp.where(visible, s, NEG_INF)
+            m = jnp.max(s, axis=1, keepdims=True)
+            p = jnp.exp(s - jnp.where(m == NEG_INF, 0.0, m))
+            p = jnp.where(visible, p, 0.0)
+        denom = jnp.maximum(jnp.sum(p, axis=1, keepdims=True), 1e-30)
+        if quantized:
+            p = p * vs_ref[g][None, :]                   # per-value scale
+        o = jax.lax.dot_general(
+            p.astype(q.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) / denom
+        o_ref[:, g] = o.astype(o_ref.dtype).reshape(
+            q_ref.shape[0], rep, q_ref.shape[3])
+
+
 def _kernel(kv_len_ref, q_ref, k_ref, v_ref, *rest,
             level, window, guess_size, s_len, block_k, n_blocks, n_heads,
-            scale, quantized, causal, sliding_window):
+            rep, scale, quantized, causal, sliding_window):
     if quantized:
         # int8 KV: per-slot-per-head scales ride as extra operands and are
         # applied AFTER the dots (exactly equivalent to dequantizing — the
@@ -93,7 +206,7 @@ def _kernel(kv_len_ref, q_ref, k_ref, v_ref, *rest,
         ks_ref = vs_ref = None
     j = pl.program_id(0)
     kv_len = kv_len_ref[0]
-    rows = q_ref.shape[1]
+    rows = q_ref.shape[0] * q_ref.shape[2]
 
     last_active = jnp.maximum(
         (kv_len + s_len + block_k - 1) // block_k - 1, 0)
@@ -113,34 +226,13 @@ def _kernel(kv_len_ref, q_ref, k_ref, v_ref, *rest,
     @pl.when((j <= last_active) & (j >= first_active))
     def _compute():
         # mask: computed once per KV block, shared by all heads
-        col = j * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (rows, block_k), 1)
-        qi = jax.lax.broadcasted_iota(
-            jnp.int32, (rows, block_k), 0) % s_len
-        if causal:
-            # prefill: query qi sits at absolute slot kv_len + qi and sees
-            # every key at or before it (plain causal attention over the
-            # live context; blocks past it are skipped by the index map)
-            visible = col <= kv_len + qi
-            if sliding_window:
-                visible &= col > kv_len + qi - sliding_window
-        else:
-            rel = col - kv_len
-            committed = col < kv_len
-            if sliding_window:
-                # Mistral-style window: a query at absolute position p sees
-                # committed keys in (p - sw, p]. Within-composite visibility
-                # is unaffected (the engine enforces S <= sliding_window).
-                q_pos = kv_len + _rel_pos(qi, level=level, window=window,
-                                          guess_size=guess_size)
-                committed &= col > q_pos - sliding_window
-            visible = committed | (
-                (rel >= 0) & (rel < s_len)
-                & _spec_visible(qi, rel, level=level, window=window,
-                                guess_size=guess_size))
+        visible = _block_mask(
+            kv_len, j, rows=rows, rep=rep, block_k=block_k, s_len=s_len,
+            level=level, window=window, guess_size=guess_size, causal=causal,
+            sliding_window=sliding_window)
 
         for g in range(n_heads):          # static unroll over KV heads
-            q = q_ref[g]                                 # [rows, D] (dtype)
+            q = _head_q(q_ref, g)                        # [rows, D] (dtype)
             k = k_ref[g]                                 # [BK, D]
             v = v_ref[g]
             if quantized:
@@ -176,7 +268,9 @@ def _kernel(kv_len_ref, q_ref, k_ref, v_ref, *rest,
     def _finalize():
         for g in range(n_heads):
             denom = jnp.maximum(l_ref[g, :, :1], 1e-30)
-            o_ref[g] = (acc_ref[g] / denom).astype(o_ref.dtype)
+            o = acc_ref[g] / denom                       # [rows, D]
+            o_ref[:, g] = o.astype(o_ref.dtype).reshape(
+                q_ref.shape[0], rep, q_ref.shape[3])
 
 
 @functools.partial(
@@ -198,15 +292,18 @@ def lookahead_attention(
                            # context (the reference's flash path also covers
                            # prefill, modeling_llama.py:1177-1178)
     sliding_window: int = 0,  # Mistral-style attention window (0 = full)
+    spec_mask=None,        # optional static [S, S] within-composite mask;
+                           # enables the rolled-operand fast path when the
+                           # cache fits one KV block
 ) -> jax.Array:
     """Fused composite-mask attention. Returns [S, Hq*D] in q.dtype.
 
-    The cache is KV-head-major ([Hkv, M, D]) so kernel operand blocks are
-    contiguous slices — no cache transpose on the hot path. ``block_k=0``
-    auto-sizes the KV block (256-512 by context size); the per-head fp32
-    score tile bounds VMEM, so the budget is raised via CompilerParams
-    rather than shrinking blocks. Quantized caches stream int8 values with
-    scales applied at the score/probability stage."""
+    The cache is KV-head-major ([Hkv, M, D]) and q rides in as the pure
+    reshape [S, Hkv, rep, D] of the projection output — neither operand nor
+    the output is transposed on the hot path. ``block_k=0`` auto-sizes the
+    KV block (whole cache when it fits 1024 slots -> scratch-free direct
+    softmax; 1024-wide online-softmax blocks beyond). Quantized caches
+    stream int8 values with scales applied at the score/probability stage."""
     quantized = isinstance(k, dict)
     if quantized:
         k_scale, v_scale = k["s"], v["s"]
@@ -215,30 +312,45 @@ def lookahead_attention(
     hkv, m, _ = k.shape
     rep = hq // hkv
     if block_k == 0:
-        # Per-program overhead (~15us dispatch+setup) dominates decode-size
-        # kernels, so prefer FEW large KV blocks: one program covers M<=1024;
-        # beyond that, 1024-wide blocks keep the scalar-driven skip of
-        # not-yet-live cache regions while bounding program count.
+        # Per-program overhead dominates decode-size kernels, so prefer FEW
+        # large KV blocks: one program covers M<=1024 (scratch-free direct
+        # softmax); beyond that, 1024-wide blocks keep the scalar-driven
+        # skip of not-yet-live cache regions while bounding program count.
         block_k = min(m, 1024)
     block_k = min(block_k, m)
     assert m % block_k == 0, "cache capacity must be a multiple of block_k"
     n_blocks = m // block_k
     scale = 1.0 / math.sqrt(d)
 
-    # [S, Hq, D] -> [Hkv, rep*S, D]; rows padded to sublane multiple
-    qh = q.transpose(1, 0, 2).reshape(hkv, rep * s_len, d)
-    rows = rep * s_len
-    rows_pad = -(-rows // 8) * 8
-    if rows_pad != rows:
-        qh = jnp.pad(qh, ((0, 0), (0, rows_pad - rows), (0, 0)))
-    kh = k                             # [Hkv, M, D], already KV-head-major
-    vh = v
+    # [S, Hq, D] -> [S, Hkv, rep, D]: a pure reshape (same memory layout);
+    # S padded so rows-per-head (S_pad * rep) is a sublane multiple. Padded
+    # rows compute garbage harmlessly and are sliced off at the end.
+    s_pad = s_len
+    while (s_pad * rep) % 8:
+        s_pad += 1
+    q4 = q.reshape(s_len, hkv, rep, d)
+    if s_pad != s_len:
+        q4 = jnp.pad(q4, ((0, s_pad - s_len), (0, 0), (0, 0), (0, 0)))
 
-    kernel = functools.partial(
-        _kernel, level=level, window=window, guess_size=guess_size,
-        s_len=s_len, block_k=block_k, n_blocks=n_blocks, n_heads=hkv,
-        scale=scale, quantized=quantized, causal=causal,
-        sliding_window=sliding_window)
+    common = dict(level=level, window=window, guess_size=guess_size,
+                  s_len=s_len, block_k=block_k, n_heads=hkv, rep=rep,
+                  scale=scale, quantized=quantized, causal=causal,
+                  sliding_window=sliding_window)
+    # rolled-operand mask path: single block, composite mode, no window
+    # bound, compiled (interpret mode lacks the roll primitive)
+    has_spec = (n_blocks == 1 and spec_mask is not None and not causal
+                and not sliding_window and not interpret)
+    if n_blocks == 1:
+        kernel = functools.partial(_kernel_single, has_spec=has_spec,
+                                   **common)
+        scratch_shapes = []
+    else:
+        kernel = functools.partial(_kernel, n_blocks=n_blocks, **common)
+        scratch_shapes = [
+            pltpu.VMEM((hkv, s_pad * rep, d), jnp.float32),      # acc
+            pltpu.VMEM((hkv, s_pad * rep, 128), jnp.float32),    # running max
+            pltpu.VMEM((hkv, s_pad * rep, 128), jnp.float32),    # running denom
+        ]
 
     def clamp_j(j, kv_len_ref):
         last_active = jnp.maximum(
@@ -257,11 +369,18 @@ def lookahead_attention(
         return (0, clamp_j(j, kv_len_ref))
 
     in_specs = [
-        pl.BlockSpec((hkv, rows_pad, d), lambda j, kv_len_ref: (0, 0, 0)),
+        pl.BlockSpec((s_pad, hkv, rep, d), lambda j, kv_len_ref: (0, 0, 0, 0)),
         pl.BlockSpec((hkv, block_k, d), kv_index),
         pl.BlockSpec((hkv, block_k, d), kv_index),
     ]
-    operands = [qh, kh, vh]
+    operands = [q4, k, v]
+    if has_spec:
+        # [S, S] bool -> [S_pad, M] i32 (32-bit: Mosaic dynamic-rotate
+        # requirement), spec block at cols [0, S)
+        sm = jnp.pad(spec_mask.astype(jnp.int32),
+                     ((0, s_pad - s_len), (0, m - s_len)))
+        in_specs.append(pl.BlockSpec((s_pad, m), lambda j, kv_len_ref: (0, 0)))
+        operands.append(sm)
     if quantized:
         in_specs += [pl.BlockSpec((hkv, block_k), kv_index2),
                      pl.BlockSpec((hkv, block_k), kv_index2)]
@@ -273,22 +392,17 @@ def lookahead_attention(
         grid=(n_blocks,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (hkv, rows_pad, d), lambda j, kv_len_ref: (0, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((hkv, rows_pad, d), jnp.float32),     # acc
-            pltpu.VMEM((hkv, rows_pad, 128), jnp.float32),   # running max
-            pltpu.VMEM((hkv, rows_pad, 128), jnp.float32),   # running denom
-        ],
+            (s_pad, hkv, rep, d), lambda j, kv_len_ref: (0, 0, 0, 0)),
+        scratch_shapes=scratch_shapes,
     )
 
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((hkv, rows_pad, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((s_pad, hkv, rep, d), q.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )(kv_len.reshape(1).astype(jnp.int32), *operands)
 
-    out = out[:, :rows, :].reshape(hkv, rep, s_len, d)
-    return out.transpose(2, 0, 1, 3).reshape(s_len, hq * d)
+    return out[:s_len].reshape(s_len, hq * d)

@@ -35,13 +35,14 @@ def _kernel(xlo_ref, xhi_ref, q_ref, s_ref, o_ref, acc_ref, *, n_kblocks):
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    # Nibble unpack via i32 mask/xor arithmetic (Mosaic has no i8 vector
-    # shifts): for a 4-bit two's-complement value v, (v ^ 8) - 8
-    # sign-extends; the high nibble is isolated with an exact /16 after
-    # clearing the low bits (exact multiple -> no rounding mode concerns).
+    # Nibble unpack via i32 shifts (Mosaic has no i8 vector shifts, so the
+    # bytes are widened first): low nibble sign-extends by shifting to the
+    # top and arithmetic-shifting back; high nibble is a plain arithmetic
+    # shift. Measured faster than the mask/xor/exact-divide formulation
+    # (~268 vs ~317us at the 2048x5632 decode shape, scripts/int4_micro.py).
     p32 = q_ref[...].astype(jnp.int32)                 # sign-extended bytes
-    lo = ((p32 & 15) ^ 8) - 8
-    hi = ((((p32 - (p32 & 15)) // 16) & 15) ^ 8) - 8
+    lo = (p32 << 28) >> 28
+    hi = p32 >> 4
     xlo = xlo_ref[...]                                 # [T, BKh]
     xhi = xhi_ref[...]
     dims = (((1,), (0,)), ((), ()))
@@ -56,9 +57,13 @@ def _kernel(xlo_ref, xhi_ref, q_ref, s_ref, o_ref, acc_ref, *, n_kblocks):
         o_ref[...] = (acc_ref[...] * s_ref[...]).astype(o_ref.dtype)
 
 
-def _pick_block(dim: int, candidates=(2048, 1280, 1024, 640, 512, 256)) -> int:
-    # candidates are lane-aligned (x128); 1280/640 cover 32000-class vocabs
-    for c in candidates:
+def _pick_block(dim: int, cap: int = 2048, floor: int = 256) -> int:
+    """Largest lane-aligned (x128) divisor of ``dim`` that is <= cap.
+
+    Program-switch overhead dominates this kernel at decode T (the MXU work
+    per program is tiny), so FEWER, LARGER blocks win: e.g. N=5632 tiles as
+    4 programs of 1408 instead of 11 of 512."""
+    for c in range(cap - cap % 128, floor - 1, -128):
         if dim % c == 0:
             return c
     return 0
@@ -78,7 +83,7 @@ def int4_matmul(
     k2, n = q4.shape
     assert k == 2 * k2, "split-half packed weight mismatch"
     block_n = block_n or _pick_block(n)
-    block_k = block_k or _pick_block(k2, (512, 256))
+    block_k = block_k or _pick_block(k2, cap=1408, floor=256)
     assert block_n and block_k, "untileable shapes; use the dequant fallback"
     n_kblocks = k2 // block_k
     t_pad = -(-t // 8) * 8
@@ -112,5 +117,5 @@ def int4_matmul(
 
 def int4_matmul_supported(k: int, q4_shape) -> bool:
     k2, n = q4_shape
-    return (k == 2 * k2 and _pick_block(k2, (512, 256)) != 0
+    return (k == 2 * k2 and _pick_block(k2, cap=1408, floor=256) != 0
             and _pick_block(n) != 0)

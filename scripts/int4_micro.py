@@ -191,7 +191,7 @@ def main():
         row = (f"K={K:5d} N={N:5d}  sol_i4={sol:6.1f}us  bf16={t_bf:7.1f}  "
                f"int8={t_i8:7.1f}  int4_cur={t_cur:7.1f}  int4_xla2={t_xla2:7.1f}")
         bn = qm._pick_block(N)
-        bk = qm._pick_block(K // 2, (512, 256))
+        bk = qm._pick_block(K // 2, cap=1408, floor=256)
         try:
             f = jax.jit(functools.partial(
                 shift_matmul, block_n=bn, block_k=bk))

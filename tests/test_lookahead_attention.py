@@ -191,3 +191,26 @@ def test_e2e_pallas_engine_token_exact_and_compressing():
     np.testing.assert_array_equal(lade_x.tokens, base.tokens)
     # deterministic-transition model: near-max compression once warmed up
     assert lade_p.compression_ratio > 1.5
+
+
+@pytest.mark.skipif(jax.default_backend() == "cpu",
+                    reason="rolled-mask path needs compiled Mosaic (pltpu.roll)")
+@pytest.mark.parametrize("kv_len", [0, 1, 37, 200])
+def test_rolled_spec_mask_matches_iota_path(kv_len):
+    """The spec-mask-operand fast path (single KV block, dynamic lane roll)
+    must equal the iota-derived mask path bit-for-bit on real hardware."""
+    lcfg = LookaheadConfig(level=4, window_size=5, guess_set_size=4)
+    lay = build_layout(lcfg)
+    s = lay.seq_len
+    hkv, d, m = 2, 64, 256
+    rng = jax.random.PRNGKey(kv_len)
+    kq, kk, kv = jax.random.split(rng, 3)
+    q = jax.random.normal(kq, (s, hkv * 4, d), jnp.float32)
+    k = jax.random.normal(kk, (hkv, m, d), jnp.float32)
+    v = jax.random.normal(kv, (hkv, m, d), jnp.float32)
+    base = lookahead_attention(
+        q, k, v, jnp.int32(kv_len), level=4, window=5, guess_size=3)
+    rolled = lookahead_attention(
+        q, k, v, jnp.int32(kv_len), level=4, window=5, guess_size=3,
+        spec_mask=jnp.asarray(lay.spec_mask))
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(rolled))

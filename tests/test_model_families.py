@@ -124,3 +124,29 @@ def test_sliding_window_guard_composite_too_large():
             mcfg, params,
             lt.LookaheadConfig(level=4, window_size=5, guess_set_size=4),
             lt.EngineConfig(max_seq_len=256))
+
+
+def test_gemma_parity_and_generation():
+    """Gemma family: sqrt(hidden) embedding scaling, (1 + w) RMSNorm,
+    tanh-GeGLU MLP, decoupled head_dim, tied embeddings — a family beyond
+    the reference's LLaMA-only support."""
+    cfg = transformers.GemmaConfig(
+        vocab_size=96, hidden_size=64, intermediate_size=112,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=32, max_position_embeddings=256,
+        attn_implementation="eager")
+    torch.manual_seed(3)
+    hf = transformers.GemmaForCausalLM(cfg).eval()
+    tokens = np.random.RandomState(2).randint(0, 96, size=12)
+    mcfg, params = check_parity(hf, tokens)
+    assert mcfg.head_dim == 32 and mcfg.scale_embeddings
+    assert mcfg.rms_norm_offset == 1.0 and mcfg.tie_word_embeddings
+
+    eng = lt.LookaheadEngine(
+        mcfg, params,
+        lt.LookaheadConfig(level=4, window_size=5, guess_set_size=4,
+                           pool_from_prompt=True),
+        lt.EngineConfig(max_seq_len=128, prefill_chunk=16, dtype="float32"))
+    base = eng.generate_baseline(list(tokens), 24)
+    lade = eng.generate(list(tokens), 24)
+    np.testing.assert_array_equal(base.tokens, lade.tokens)
