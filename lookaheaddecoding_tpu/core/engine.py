@@ -39,6 +39,13 @@ from .step import build_step_fns
 MAX_EOS_IDS = 4
 
 
+def pallas_tileable(max_seq_len: int) -> bool:
+    """Capacities the fused attention kernel tiles: a single scratch-free
+    block covers M <= 1024; beyond that the online-softmax grid needs the
+    capacity to divide into its KV blocks."""
+    return max_seq_len <= 1024 or max_seq_len % 1024 == 0
+
+
 def _eos_vec(eos_token_id):
     """Fixed-width EOS id vector (pad -1). The reference accepts an int or a
     list (decoding.py:820-822); any listed id stops generation."""
@@ -109,9 +116,8 @@ class LookaheadEngine:
             # does the CPU backend (where the kernel would only run in slow
             # interpret mode — tests pin the dense path's semantics there
             # by selecting "pallas" explicitly).
-            m = self.ecfg.max_seq_len
             use_pallas = (jax.default_backend() != "cpu"
-                          and (m <= 1024 or m % 1024 == 0))
+                          and pallas_tileable(self.ecfg.max_seq_len))
             self.lcfg = dataclasses.replace(
                 self.lcfg,
                 attention_impl="pallas" if use_pallas else "xla")

@@ -19,6 +19,7 @@ into the MXU operand load — weights stream from HBM at the quantized width.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict
 
 import jax
@@ -63,6 +64,17 @@ def dequantize_weight(wq: Dict[str, Any], dtype=jnp.bfloat16) -> jax.Array:
 
 
 INT4_KERNEL_ENABLED = True
+# Double-buffered unpack/MXU overlap in the int4 kernel (see
+# ops/quant_matmul.py:_kernel_pipe). Off by default: measured e2e on the
+# 1.1B bench model it LOSES to the serialized kernel (AR 267 vs 349 tok/s,
+# LADE 492 vs 538) — the scratch round-trip and the drain grid step cost
+# more than the VPU/MXU overlap buys at decode-size dots. Env override for
+# A/B remeasurement on other shapes/hardware.
+INT4_PIPELINE = os.environ.get("LADE_INT4_PIPELINE", "0") != "0"
+# Nibble-unpack lane width inside the kernel: 32 (default) or 16. i16 lanes
+# halve the vector-op count of the unpack if Mosaic legalizes i16 shifts on
+# this toolchain; env override for on-hardware A/B.
+INT4_UNPACK_BITS = int(os.environ.get("LADE_INT4_UNPACK_BITS", "32"))
 
 
 def qmatmul(x: jax.Array, w, dtype=None) -> jax.Array:
@@ -76,7 +88,9 @@ def qmatmul(x: jax.Array, w, dtype=None) -> jax.Array:
         from .quant_matmul import int4_matmul, int4_matmul_supported
         if (jax.default_backend() != "cpu"
                 and int4_matmul_supported(x.shape[-1], w["q4"].shape)):
-            return int4_matmul(x, w["q4"], w["scale"])
+            return int4_matmul(x, w["q4"], w["scale"],
+                               pipeline=INT4_PIPELINE,
+                               unpack_bits=INT4_UNPACK_BITS)
     dtype = dtype or x.dtype
     return x @ dequantize_weight(w, dtype=dtype)
 

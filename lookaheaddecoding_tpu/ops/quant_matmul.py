@@ -28,21 +28,29 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(xlo_ref, xhi_ref, q_ref, s_ref, o_ref, acc_ref, *, n_kblocks):
+def _kernel(xlo_ref, xhi_ref, q_ref, s_ref, o_ref, acc_ref, *, n_kblocks,
+            unpack_bits=32):
     kb = pl.program_id(1)
 
     @pl.when(kb == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    # Nibble unpack via i32 shifts (Mosaic has no i8 vector shifts, so the
-    # bytes are widened first): low nibble sign-extends by shifting to the
-    # top and arithmetic-shifting back; high nibble is a plain arithmetic
-    # shift. Measured faster than the mask/xor/exact-divide formulation
-    # (~268 vs ~317us at the 2048x5632 decode shape, scripts/int4_micro.py).
-    p32 = q_ref[...].astype(jnp.int32)                 # sign-extended bytes
-    lo = (p32 << 28) >> 28
-    hi = p32 >> 4
+    # Nibble unpack via integer shifts (Mosaic has no i8 vector shifts, so
+    # the bytes are widened first): low nibble sign-extends by shifting to
+    # the top and arithmetic-shifting back; high nibble is a plain
+    # arithmetic shift. Measured faster than the mask/xor/exact-divide
+    # formulation (~268 vs ~317us at the 2048x5632 decode shape,
+    # scripts/int4_micro.py). unpack_bits=16 runs the shifts on i16 lanes
+    # (2 bytes per 32-bit VPU lane — half the vector-op count).
+    if unpack_bits == 16:
+        p = q_ref[...].astype(jnp.int16)
+        lo = (p << 12) >> 12
+        hi = p >> 4
+    else:
+        p = q_ref[...].astype(jnp.int32)               # sign-extended bytes
+        lo = (p << 28) >> 28
+        hi = p >> 4
     xlo = xlo_ref[...]                                 # [T, BKh]
     xhi = xhi_ref[...]
     dims = (((1,), (0,)), ((), ()))
@@ -53,6 +61,60 @@ def _kernel(xlo_ref, xhi_ref, q_ref, s_ref, o_ref, acc_ref, *, n_kblocks):
                               preferred_element_type=jnp.float32))
 
     @pl.when(kb == n_kblocks - 1)
+    def _finalize():
+        o_ref[...] = (acc_ref[...] * s_ref[...]).astype(o_ref.dtype)
+
+
+def _kernel_pipe(xlo_ref, xhi_ref, q_ref, s_ref, o_ref,
+                 acc_ref, u0lo_ref, u0hi_ref, u1lo_ref, u1hi_ref,
+                 *, n_kblocks):
+    """Software-pipelined variant: the VPU nibble unpack of K-block ``kb``
+    and the MXU dot over K-block ``kb-1`` live in the same grid step but
+    touch different double-buffer parities, so Mosaic can overlap them
+    (the plain kernel serializes unpack -> dot within every block, leaving
+    the MXU idle during ~6 VPU ops/packed byte — above v5e's ~4.7 ops/byte
+    VPU:HBM breakeven, which is exactly why int4 trailed int8)."""
+    kb = pl.program_id(1)
+
+    @pl.when(kb == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    dims = (((1,), (0,)), ((), ()))
+
+    def _dot(lo_ref, hi_ref):
+        acc_ref[...] += (
+            jax.lax.dot_general(xlo_ref[...], lo_ref[...], dims,
+                                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(xhi_ref[...], hi_ref[...], dims,
+                                  preferred_element_type=jnp.float32))
+
+    def _unpack(lo_ref, hi_ref):
+        p32 = q_ref[...].astype(jnp.int32)
+        lo_ref[...] = ((p32 << 28) >> 28).astype(lo_ref.dtype)
+        hi_ref[...] = (p32 >> 4).astype(hi_ref.dtype)
+
+    parity = jax.lax.rem(kb, 2)
+
+    # dot over the block unpacked in the previous grid step (parity flipped)
+    @pl.when(jnp.logical_and(kb > 0, parity == 1))
+    def _dot_even():       # kb odd -> previous block kb-1 sits in buffer 0
+        _dot(u0lo_ref, u0hi_ref)
+
+    @pl.when(jnp.logical_and(kb > 0, parity == 0))
+    def _dot_odd():
+        _dot(u1lo_ref, u1hi_ref)
+
+    # unpack block kb into this step's parity buffer
+    @pl.when(jnp.logical_and(kb < n_kblocks, parity == 0))
+    def _unpack_even():
+        _unpack(u0lo_ref, u0hi_ref)
+
+    @pl.when(jnp.logical_and(kb < n_kblocks, parity == 1))
+    def _unpack_odd():
+        _unpack(u1lo_ref, u1hi_ref)
+
+    @pl.when(kb == n_kblocks)
     def _finalize():
         o_ref[...] = (acc_ref[...] * s_ref[...]).astype(o_ref.dtype)
 
@@ -69,13 +131,17 @@ def _pick_block(dim: int, cap: int = 2048, floor: int = 256) -> int:
     return 0
 
 
-@functools.partial(jax.jit, static_argnames=("block_n", "block_k", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block_n", "block_k",
+                                             "pipeline", "unpack_bits",
+                                             "interpret"))
 def int4_matmul(
     x: jax.Array,        # [T, K] activations
     q4: jax.Array,       # [K/2, N] int8 split-half packed weights
     scale: jax.Array,    # [1, N] fp32 per-output-channel scales
     block_n: int = 0,    # 0 = auto (largest tiling divisor, caps program count)
     block_k: int = 0,    # packed rows per block (= K/2 tile); 0 = auto
+    pipeline: bool = False,  # double-buffered unpack (measured: loses e2e)
+    unpack_bits: int = 32,   # 16 = i16-lane nibble shifts (half the VPU ops)
     interpret: bool = False,
 ) -> jax.Array:
     """x @ dequant(q4, scale) with in-kernel nibble unpack."""
@@ -91,23 +157,38 @@ def int4_matmul(
         x = jnp.pad(x, ((0, t_pad - t), (0, 0)))
     x_lo, x_hi = x[:, :k2], x[:, k2:]
 
+    if pipeline:
+        # one extra K step per N block drains the pipeline (dot-only)
+        kern = functools.partial(_kernel_pipe, n_kblocks=n_kblocks)
+        grid = (n // block_n, n_kblocks + 1)
+        last = n_kblocks - 1
+        x_idx = lambda nb, kb: (0, jnp.maximum(kb - 1, 0))
+        q_idx = lambda nb, kb: (jnp.minimum(kb, last), nb)
+        ubuf = jnp.bfloat16 if x.dtype == jnp.bfloat16 else x.dtype
+        scratch = [pltpu.VMEM((t_pad, block_n), jnp.float32)] + [
+            pltpu.VMEM((block_k, block_n), ubuf) for _ in range(4)]
+    else:
+        kern = functools.partial(_kernel, n_kblocks=n_kblocks,
+                                 unpack_bits=unpack_bits)
+        grid = (n // block_n, n_kblocks)
+        x_idx = lambda nb, kb: (0, kb)
+        q_idx = lambda nb, kb: (kb, nb)
+        scratch = [pltpu.VMEM((t_pad, block_n), jnp.float32)]
+
     out = pl.pallas_call(
-        functools.partial(_kernel, n_kblocks=n_kblocks),
-        grid=(n // block_n, n_kblocks),
+        kern,
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((t_pad, block_k), lambda nb, kb: (0, kb),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((t_pad, block_k), lambda nb, kb: (0, kb),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_k, block_n), lambda nb, kb: (kb, nb),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_pad, block_k), x_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_pad, block_k), x_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_k, block_n), q_idx, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_n), lambda nb, kb: (0, nb),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((t_pad, block_n), lambda nb, kb: (0, nb),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((t_pad, n), x.dtype),
-        scratch_shapes=[pltpu.VMEM((t_pad, block_n), jnp.float32)],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,

@@ -87,14 +87,20 @@ def test_shard_params_handles_bias_models():
 
 
 def test_auto_attention_falls_back_for_untileable_capacity():
+    from lookaheaddecoding_tpu.core.engine import pallas_tileable
+
+    # tiling predicate used by auto-selection on accelerators
+    assert not pallas_tileable(2056)     # 2056 % 1024 != 0
+    assert pallas_tileable(2048)
+    assert pallas_tileable(1024)
+    assert pallas_tileable(768)          # single-block regime
+
+    # on the CPU backend auto always resolves to the dense path (the kernel
+    # would only run in slow interpret mode there)
     mcfg, params = small_model()
     lcfg = lt.LookaheadConfig(level=4, window_size=5, guess_set_size=4,
                               attention_impl="auto")
     eng = lt.LookaheadEngine(
         mcfg, params, lcfg,
-        lt.EngineConfig(max_seq_len=2056, prefill_chunk=16, dtype="float32"))
-    assert eng.lcfg.attention_impl == "xla"    # 2056 % 512 != 0
-    eng2 = lt.LookaheadEngine(
-        mcfg, params, lcfg,
         lt.EngineConfig(max_seq_len=2048, prefill_chunk=16, dtype="float32"))
-    assert eng2.lcfg.attention_impl == "pallas"
+    assert eng.lcfg.attention_impl == "xla"
