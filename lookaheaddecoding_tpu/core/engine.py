@@ -41,9 +41,11 @@ MAX_EOS_IDS = 4
 
 def pallas_tileable(max_seq_len: int) -> bool:
     """Capacities the fused attention kernel tiles: a single scratch-free
-    block covers M <= 1024; beyond that the online-softmax grid needs the
-    capacity to divide into its KV blocks."""
-    return max_seq_len <= 1024 or max_seq_len % 1024 == 0
+    block covers M <= 1024; beyond that the online-softmax grid needs a
+    lane-aligned (x128) KV-block divisor <= 1024 (e.g. 2560 -> 512-wide
+    blocks; 2056 has none)."""
+    return max_seq_len <= 1024 or any(
+        max_seq_len % c == 0 for c in range(1024, 127, -128))
 
 
 def _eos_vec(eos_token_id):
@@ -116,11 +118,22 @@ class LookaheadEngine:
             # does the CPU backend (where the kernel would only run in slow
             # interpret mode — tests pin the dense path's semantics there
             # by selecting "pallas" explicitly).
-            use_pallas = (jax.default_backend() != "cpu"
+            use_pallas = (jax.default_backend() == "tpu"
                           and pallas_tileable(self.ecfg.max_seq_len))
             self.lcfg = dataclasses.replace(
                 self.lcfg,
                 attention_impl="pallas" if use_pallas else "xla")
+        elif (self.lcfg.attention_impl == "pallas"
+                and jax.default_backend() != "cpu"
+                and not pallas_tileable(self.ecfg.max_seq_len)):
+            # fail at construction with an actionable message, not with a
+            # kernel-shape assert at first trace (CPU runs the kernel in
+            # interpret mode with per-call block sizing — tests rely on it)
+            raise ValueError(
+                f"attention_impl='pallas' needs a max_seq_len with a "
+                f"lane-aligned KV-block divisor (multiple of 128 works; "
+                f"got {self.ecfg.max_seq_len}); round the capacity or use "
+                f"attention_impl='xla'")
         self.layout: Layout = build_layout(self.lcfg)
         self.log = log
         self.mesh = mesh
@@ -139,6 +152,13 @@ class LookaheadEngine:
         if self.ecfg.pp > 1:
             if mesh is None or "pp" not in mesh.axis_names:
                 raise ValueError("pp > 1 requires a mesh with a 'pp' axis")
+            if mesh.shape["pp"] != self.ecfg.pp:
+                # shard_map shards layers over the mesh axis's real size
+                # while the stage loop iterates ecfg.pp — a mismatch would
+                # silently skip layer stages
+                raise ValueError(
+                    f"mesh 'pp' axis size {mesh.shape['pp']} != "
+                    f"EngineConfig.pp {self.ecfg.pp}")
             if self.mcfg.num_hidden_layers % self.ecfg.pp != 0:
                 raise ValueError(
                     "num_hidden_layers must be divisible by pp "

@@ -136,7 +136,12 @@ def pool_update(
         return jax.vmap(_insert_one)(rows0, ages0, tups, lane)
 
     # duplicates among trash-redirected lanes don't need chaining (their
-    # rows are write-only garbage), so only valid-lane collisions count
+    # rows are write-only garbage), so only valid-lane collisions count.
+    # NB: under vmap (batched serving) this cond lowers to a select that
+    # runs BOTH branches; the win there is nil (the chain still bounds the
+    # latency) but the vmapped insert + [K,K] dup check it adds are a few
+    # percent of the chain's cost. Single-stream decode — the latency-
+    # critical path — takes the parallel branch alone.
     valid_dup = same & (lane[None, :] != lane[:, None]) \
         & valid[None, :] & valid[:, None]
     work_vals, work_age = jax.lax.cond(

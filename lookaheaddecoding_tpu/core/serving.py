@@ -115,10 +115,25 @@ class ContinuousBatchingEngine:
                 continue
             req = self._queue.popleft()
             try:
+                # validate EVERYTHING before touching lane state so a bad
+                # request fails alone instead of killing the scheduler
+                eos = np.asarray(_eos_vec(req.eos_token_id))
+                if self.sampling is not None:
+                    temp = (self.sampling.temperature
+                            if req.temperature is None else req.temperature)
+                    topp = (self.sampling.top_p if req.top_p is None
+                            else req.top_p)
+                    if not temp > 0:
+                        raise ValueError(
+                            "temperature must be > 0 (greedy lanes: build "
+                            "the engine without sampling)")
+                    if not 0 < topp <= 1.0:
+                        raise ValueError("top_p must be in (0, 1]")
                 state = self.engine._prepare(req.prompt, req.seed)
             except ValueError as e:
-                # bad request (empty / over-capacity prompt): fail it
-                # without taking down the scheduler or its lanes
+                # bad request (empty / over-capacity prompt, bad eos list,
+                # bad sampling params): fail it without taking down the
+                # scheduler or its lanes
                 res = GenerationResult(
                     tokens=np.asarray(req.prompt, np.int32),
                     prompt_len=len(req.prompt), steps=0)
@@ -129,13 +144,10 @@ class ContinuousBatchingEngine:
             self._t0[lane] = time.perf_counter()
             self._batched = self._insert(self._batched, state, lane)
             self._max_new[lane] = req.max_new_tokens
-            self._eos[lane] = np.asarray(_eos_vec(req.eos_token_id))
+            self._eos[lane] = eos
             if self.sampling is not None:
-                self._temp[lane] = (self.sampling.temperature
-                                    if req.temperature is None
-                                    else req.temperature)
-                self._topp[lane] = (self.sampling.top_p if req.top_p is None
-                                    else req.top_p)
+                self._temp[lane] = temp
+                self._topp[lane] = topp
             self._active[lane] = req
 
     def _harvest(self) -> None:

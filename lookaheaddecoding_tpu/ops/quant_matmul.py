@@ -21,6 +21,7 @@ in fp32 accumulation).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -67,7 +68,7 @@ def _kernel(xlo_ref, xhi_ref, q_ref, s_ref, o_ref, acc_ref, *, n_kblocks,
 
 def _kernel_pipe(xlo_ref, xhi_ref, q_ref, s_ref, o_ref,
                  acc_ref, u0lo_ref, u0hi_ref, u1lo_ref, u1hi_ref,
-                 *, n_kblocks):
+                 *, n_kblocks, unpack_bits=32):
     """Software-pipelined variant: the VPU nibble unpack of K-block ``kb``
     and the MXU dot over K-block ``kb-1`` live in the same grid step but
     touch different double-buffer parities, so Mosaic can overlap them
@@ -90,9 +91,13 @@ def _kernel_pipe(xlo_ref, xhi_ref, q_ref, s_ref, o_ref,
                                   preferred_element_type=jnp.float32))
 
     def _unpack(lo_ref, hi_ref):
-        p32 = q_ref[...].astype(jnp.int32)
-        lo_ref[...] = ((p32 << 28) >> 28).astype(lo_ref.dtype)
-        hi_ref[...] = (p32 >> 4).astype(hi_ref.dtype)
+        if unpack_bits == 16:
+            p = q_ref[...].astype(jnp.int16)
+            lo_ref[...] = ((p << 12) >> 12).astype(lo_ref.dtype)
+        else:
+            p = q_ref[...].astype(jnp.int32)
+            lo_ref[...] = ((p << 28) >> 28).astype(lo_ref.dtype)
+        hi_ref[...] = (p >> 4).astype(hi_ref.dtype)
 
     parity = jax.lax.rem(kb, 2)
 
@@ -117,6 +122,12 @@ def _kernel_pipe(xlo_ref, xhi_ref, q_ref, s_ref, o_ref,
     @pl.when(kb == n_kblocks)
     def _finalize():
         o_ref[...] = (acc_ref[...] * s_ref[...]).astype(o_ref.dtype)
+
+
+# Auto block-size caps. Per-program overhead (~15us) dominates this kernel
+# at decode T, so fewer/larger blocks win; env knobs for on-hardware sweeps.
+CAP_N = int(os.environ.get("LADE_INT4_CAP_N", "2048"))
+CAP_K = int(os.environ.get("LADE_INT4_CAP_K", "1408"))
 
 
 def _pick_block(dim: int, cap: int = 2048, floor: int = 256) -> int:
@@ -148,8 +159,8 @@ def int4_matmul(
     t, k = x.shape
     k2, n = q4.shape
     assert k == 2 * k2, "split-half packed weight mismatch"
-    block_n = block_n or _pick_block(n)
-    block_k = block_k or _pick_block(k2, cap=1408, floor=256)
+    block_n = block_n or _pick_block(n, cap=CAP_N)
+    block_k = block_k or _pick_block(k2, cap=CAP_K, floor=256)
     assert block_n and block_k, "untileable shapes; use the dequant fallback"
     n_kblocks = k2 // block_k
     t_pad = -(-t // 8) * 8
@@ -157,16 +168,18 @@ def int4_matmul(
         x = jnp.pad(x, ((0, t_pad - t), (0, 0)))
     x_lo, x_hi = x[:, :k2], x[:, k2:]
 
+    if unpack_bits not in (16, 32):
+        raise ValueError(f"unpack_bits must be 16 or 32, got {unpack_bits}")
     if pipeline:
         # one extra K step per N block drains the pipeline (dot-only)
-        kern = functools.partial(_kernel_pipe, n_kblocks=n_kblocks)
+        kern = functools.partial(_kernel_pipe, n_kblocks=n_kblocks,
+                                 unpack_bits=unpack_bits)
         grid = (n // block_n, n_kblocks + 1)
         last = n_kblocks - 1
         x_idx = lambda nb, kb: (0, jnp.maximum(kb - 1, 0))
         q_idx = lambda nb, kb: (jnp.minimum(kb, last), nb)
-        ubuf = jnp.bfloat16 if x.dtype == jnp.bfloat16 else x.dtype
         scratch = [pltpu.VMEM((t_pad, block_n), jnp.float32)] + [
-            pltpu.VMEM((block_k, block_n), ubuf) for _ in range(4)]
+            pltpu.VMEM((block_k, block_n), x.dtype) for _ in range(4)]
     else:
         kern = functools.partial(_kernel, n_kblocks=n_kblocks,
                                  unpack_bits=unpack_bits)
@@ -198,5 +211,5 @@ def int4_matmul(
 
 def int4_matmul_supported(k: int, q4_shape) -> bool:
     k2, n = q4_shape
-    return (k == 2 * k2 and _pick_block(k2, cap=1408, floor=256) != 0
-            and _pick_block(n) != 0)
+    return (k == 2 * k2 and _pick_block(k2, cap=CAP_K, floor=256) != 0
+            and _pick_block(n, cap=CAP_N) != 0)

@@ -95,3 +95,11 @@ def test_pp_requires_divisible_layers_and_mesh():
             cfg4, params4, LCFG,
             lt.EngineConfig(max_seq_len=128, prefill_chunk=16,
                             dtype="float32", pp=2))
+    # mesh pp axis size must EQUAL ecfg.pp (a larger axis would silently
+    # skip layer stages)
+    mesh4 = make_mesh(pp=4)
+    with pytest.raises(ValueError, match="axis size"):
+        lt.LookaheadEngine(
+            cfg4, params4, LCFG,
+            lt.EngineConfig(max_seq_len=128, prefill_chunk=16,
+                            dtype="float32", pp=2), mesh=mesh4)

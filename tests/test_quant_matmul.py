@@ -26,15 +26,19 @@ def test_int4_matmul_matches_dequant_path(t, k, n, pipeline):
 
 
 def test_int4_matmul_i16_unpack():
-    """i16-lane nibble shifts must match the i32 formulation exactly."""
+    """i16-lane nibble shifts must match the i32 formulation exactly,
+    in both the plain and pipelined kernels."""
     rng = np.random.RandomState(7)
     x = jnp.asarray(rng.randn(8, 512).astype(np.float32))
     w = rng.randn(512, 256).astype(np.float32) * 0.2
     wq = quantize_weight(w, bits=4)
     ref = int4_matmul(x, wq["q4"], wq["scale"], interpret=True)
-    out = int4_matmul(x, wq["q4"], wq["scale"], unpack_bits=16,
-                      interpret=True)
-    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    for pipeline in (False, True):
+        out = int4_matmul(x, wq["q4"], wq["scale"], unpack_bits=16,
+                          pipeline=pipeline, interpret=True)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    with pytest.raises(ValueError, match="unpack_bits"):
+        int4_matmul(x, wq["q4"], wq["scale"], unpack_bits=8, interpret=True)
 
 
 def test_int4_matmul_multi_nblock_pipeline():

@@ -90,8 +90,9 @@ def test_auto_attention_falls_back_for_untileable_capacity():
     from lookaheaddecoding_tpu.core.engine import pallas_tileable
 
     # tiling predicate used by auto-selection on accelerators
-    assert not pallas_tileable(2056)     # 2056 % 1024 != 0
+    assert not pallas_tileable(2056)     # no lane-aligned divisor
     assert pallas_tileable(2048)
+    assert pallas_tileable(2560)         # tiles as 512-wide KV blocks
     assert pallas_tileable(1024)
     assert pallas_tileable(768)          # single-block regime
 

@@ -58,6 +58,37 @@ def test_bad_request_fails_gracefully_without_killing_lanes():
     assert by_id["ok2"].num_generated == 8
 
 
+def test_bad_eos_and_sampling_params_fail_only_that_request():
+    """A >MAX_EOS_IDS stop list or invalid per-request sampling params must
+    fail that request alone — not abort the scheduler after lane insert."""
+    eng = tiny_engine()
+    rng = np.random.RandomState(6)
+    good = list(rng.randint(0, 128, size=10))
+    server = ContinuousBatchingEngine(eng, num_lanes=2)
+    results = server.run([
+        Request(prompt=good, max_new_tokens=10, request_id="ok"),
+        Request(prompt=good, max_new_tokens=10, request_id="bad_eos",
+                eos_token_id=[1, 2, 3, 4, 5]),
+    ])
+    by_id = {r.request_id: r for r in results}
+    assert by_id["bad_eos"].error and "eos" in by_id["bad_eos"].error
+    assert by_id["ok"].error is None and by_id["ok"].num_generated == 10
+
+    scfg = lt.SamplingConfig(temperature=1.0)
+    server = ContinuousBatchingEngine(eng, num_lanes=2, sampling=scfg)
+    results = server.run([
+        Request(prompt=good, max_new_tokens=10, request_id="ok", seed=1),
+        Request(prompt=good, max_new_tokens=10, request_id="bad_temp",
+                temperature=0.0),
+        Request(prompt=good, max_new_tokens=10, request_id="bad_topp",
+                top_p=0.0),
+    ])
+    by_id = {r.request_id: r for r in results}
+    assert "temperature" in by_id["bad_temp"].error
+    assert "top_p" in by_id["bad_topp"].error
+    assert by_id["ok"].error is None and by_id["ok"].num_generated == 10
+
+
 def test_continuous_batching_incremental_submit():
     eng = tiny_engine()
     rng = np.random.RandomState(4)
