@@ -72,8 +72,10 @@ INT4_KERNEL_ENABLED = True
 # A/B remeasurement on other shapes/hardware.
 INT4_PIPELINE = os.environ.get("LADE_INT4_PIPELINE", "0") != "0"
 # Nibble-unpack lane width inside the kernel: 32 (default) or 16. i16 lanes
-# halve the vector-op count of the unpack if Mosaic legalizes i16 shifts on
-# this toolchain; env override for on-hardware A/B.
+# would halve the vector-op count of the unpack, but the current Mosaic
+# toolchain FAILS to legalize i16 vector shifts on real TPU
+# (vector<8x128x2xi16> lowering error; works in interpret mode) — measured
+# 2026-08-17, scripts/int4_sweep.py. Keep 32 until the toolchain moves.
 INT4_UNPACK_BITS = int(os.environ.get("LADE_INT4_UNPACK_BITS", "32"))
 
 
