@@ -54,20 +54,23 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def build_predictable_tinyllama(seed=0, layer_scale=0.002):
-    """TinyLlama-1.1B-arch model whose greedy continuations follow a token
-    transition cycle. ``layer_scale`` controls how strongly the (random)
-    transformer layers perturb the embedding-dominated residual stream:
-    0.002 keeps the transition deterministic (fidelity ~1.0, compression at
-    the GUESS_SIZE cap); larger values make decoding context-dependent so
-    n-gram guesses miss at realistic rates."""
+def build_predictable_model(seed=0, layer_scale=0.002, hidden=2048,
+                            inter=5632, layers=22, heads=32, kv_heads=4):
+    """Synthetic-weight model (TinyLlama-1.1B arch by default) whose greedy
+    continuations follow a token transition cycle. ``layer_scale`` controls
+    how strongly the (random) transformer layers perturb the
+    embedding-dominated residual stream: 0.002 keeps the transition
+    deterministic (fidelity ~1.0, compression at the GUESS_SIZE cap);
+    larger values make decoding context-dependent so n-gram guesses miss
+    at realistic rates."""
     import jax
     import jax.numpy as jnp
     import lookaheaddecoding_tpu as lt
 
     mcfg = lt.LlamaConfig(
-        vocab_size=32000, hidden_size=2048, intermediate_size=5632,
-        num_hidden_layers=22, num_attention_heads=32, num_key_value_heads=4,
+        vocab_size=32000, hidden_size=hidden, intermediate_size=inter,
+        num_hidden_layers=layers, num_attention_heads=heads,
+        num_key_value_heads=kv_heads,
         max_position_embeddings=2048, dtype=jnp.bfloat16)
     # Layer weights small enough that the residual stream stays dominated by
     # the token embedding (RMSNorm rescales block inputs to norm ~sqrt(h),
@@ -90,6 +93,10 @@ def build_predictable_tinyllama(seed=0, layer_scale=0.002):
     params["embed"] = jnp.asarray(embed * np.sqrt(h), jnp.bfloat16)
     params["lm_head"] = jnp.asarray(head, jnp.bfloat16)
     return mcfg, params, nxt
+
+
+# scripts/apps call the builder under its original name
+build_predictable_tinyllama = build_predictable_model
 
 
 def make_prompt(nxt, start=0, n=64):
@@ -199,19 +206,28 @@ def main():
         variants["realistic_compression"] = "skipped (budget)"
 
     # ---------------- quantized variants --------------------------------
+    # Each runs its best measured configuration (scripts/int4_sweep*.py):
+    # int8 = unfused + int8 lm_head; int4 = gate_up-fused + huge-N-block
+    # Pallas kernel + int8 lm_head.
+    def quant_engine(mc, p, quant_bits=None, kv_quant=None):
+        from lookaheaddecoding_tpu.models.llama import fuse_params
+        from lookaheaddecoding_tpu.ops.quant import quantize_params
+        if quant_bits == 4:
+            p = fuse_params(p)   # fused qkv+gate_up: best measured (sweep3)
+        if quant_bits:
+            p = quantize_params(p, bits=quant_bits, quantize_lm_head=True,
+                                lm_head_bits=8)
+        return lt.LookaheadEngine(
+            mc, p, lcfg,
+            lt.EngineConfig(max_seq_len=1024, prefill_chunk=128,
+                            kv_quant=kv_quant))
+
     def quant_variant(name, quant_bits=None, kv_quant=None):
         if budget_left() < 240:
             variants[name] = "skipped (budget)"
             return
         try:
-            p = params
-            if quant_bits:
-                from lookaheaddecoding_tpu.ops.quant import quantize_params
-                p = quantize_params(params, bits=quant_bits)
-            e = lt.LookaheadEngine(
-                mcfg, p, lcfg,
-                lt.EngineConfig(max_seq_len=1024, prefill_chunk=128,
-                                kv_quant=kv_quant))
+            e = quant_engine(mcfg, params, quant_bits, kv_quant)
             res, _, _ = run_pair(e, prompt, N_NEW, name)
             variants[name] = res
         except Exception as e:  # pragma: no cover - bench resilience
@@ -220,6 +236,29 @@ def main():
     quant_variant("int8_kv", kv_quant="int8")
     quant_variant("int8_weights", quant_bits=8)
     quant_variant("int4_weights", quant_bits=4)
+
+    # ---------------- 3B-arch int4-vs-int8 ordering ---------------------
+    # The 1.1B arch is int4's worst case (per-program kernel overhead vs
+    # small dots); at 3B-class shapes weight bytes dominate and int4 must
+    # lead. Evidence for the BASELINE north star (70B INT4) within this
+    # chip's reach.
+    if budget_left() > 700:
+        try:
+            mcfg3, params3, nxt3 = build_predictable_model(
+                seed=2, hidden=3072, inter=11264, layers=24, heads=24,
+                kv_heads=8)
+            p3 = make_prompt(nxt3)
+            r3 = {}
+            for nm, bits in (("int8", 8), ("int4", 4)):
+                e = quant_engine(mcfg3, params3, quant_bits=bits)
+                res, _, _ = run_pair(e, p3, N_NEW, f"3b_{nm}")
+                r3[nm] = res
+                del e
+            variants["quant_ordering_3b"] = r3
+        except Exception as e:  # pragma: no cover - bench resilience
+            variants["quant_ordering_3b"] = {"error": str(e)[:200]}
+    else:
+        variants["quant_ordering_3b"] = "skipped (budget)"
 
     detail["variants"] = variants
     speedup = headline["speedup"]

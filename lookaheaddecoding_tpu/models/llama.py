@@ -315,16 +315,17 @@ def kv_cache_write(cache, new: jax.Array, start) :
 # Forward
 # ---------------------------------------------------------------------------
 
-def fuse_params(params: Dict) -> Dict:
-    """Fuse per-layer qkv and gate/up projections into single wide matmuls
-    (fewer, larger MXU ops — wins most for the int4 kernel's per-call
-    overhead). Engine-side transform; checkpoints and the HF converter keep
-    the unfused layout. Works for plain arrays and quantized dicts
-    (output-channel concat commutes with per-output-channel quantization);
-    mesh-sharded trees stay unfused."""
+def fuse_params(params: Dict, qkv: bool = True,
+                gate_up: bool = True) -> Dict:
+    """Fuse per-layer qkv and/or gate/up projections into single wide
+    matmuls (fewer, larger MXU ops — wins most for the int4 kernel's
+    per-call overhead; measured on v5e the gate_up fusion into one
+    [K, 2*inter] program is a clear win for int4 while the qkv fusion
+    loses slightly, hence the independent flags). Engine-side transform;
+    checkpoints and the HF converter keep the unfused layout. Works for
+    plain arrays and quantized dicts (output-channel concat commutes with
+    per-output-channel quantization); mesh-sharded trees stay unfused."""
     lp = params["layers"]
-    if "wqkv" in lp:
-        return params
 
     def cat(ws):
         if not isinstance(ws[0], dict):
@@ -337,18 +338,22 @@ def fuse_params(params: Dict) -> Dict:
         return {qkey: jnp.concatenate([w[qkey] for w in ws], axis=-1),
                 "scale": jnp.concatenate([w["scale"] for w in ws], axis=-1)}
 
-    wqkv = cat([lp["wq"], lp["wk"], lp["wv"]])
-    w_gate_up = cat([lp["w_gate"], lp["w_up"]])
-    if wqkv is None or w_gate_up is None:
-        return params
-    new_lp = {k: v for k, v in lp.items()
-              if k not in ("wq", "wk", "wv", "w_gate", "w_up", "bq", "bk",
-                           "bv")}
-    new_lp["wqkv"] = wqkv
-    new_lp["w_gate_up"] = w_gate_up
-    if "bq" in lp:
-        new_lp["bqkv"] = jnp.concatenate([lp["bq"], lp["bk"], lp["bv"]],
-                                         axis=-1)
+    new_lp = dict(lp)
+    if qkv and "wqkv" not in lp:
+        wqkv = cat([lp["wq"], lp["wk"], lp["wv"]])
+        if wqkv is not None:
+            for k in ("wq", "wk", "wv", "bq", "bk", "bv"):
+                new_lp.pop(k, None)
+            new_lp["wqkv"] = wqkv
+            if "bq" in lp:
+                new_lp["bqkv"] = jnp.concatenate(
+                    [lp["bq"], lp["bk"], lp["bv"]], axis=-1)
+    if gate_up and "w_gate_up" not in lp:
+        w_gate_up = cat([lp["w_gate"], lp["w_up"]])
+        if w_gate_up is not None:
+            for k in ("w_gate", "w_up"):
+                new_lp.pop(k, None)
+            new_lp["w_gate_up"] = w_gate_up
     return {**params, "layers": new_lp}
 
 

@@ -124,10 +124,13 @@ def _kernel_pipe(xlo_ref, xhi_ref, q_ref, s_ref, o_ref,
         o_ref[...] = (acc_ref[...] * s_ref[...]).astype(o_ref.dtype)
 
 
-# Auto block-size caps. Per-program overhead (~15us) dominates this kernel
-# at decode T, so fewer/larger blocks win; env knobs for on-hardware sweeps.
-CAP_N = int(os.environ.get("LADE_INT4_CAP_N", "2048"))
-CAP_K = int(os.environ.get("LADE_INT4_CAP_K", "1408"))
+# Auto block-size caps. Per-program overhead dominates this kernel at
+# decode T, so fewer/larger blocks win decisively: on the 1.1B bench model
+# raising the caps from 2048/1408 to 16384/2816 (gate_up = ONE program)
+# took int4 AR decode 349 -> 385 tok/s (scripts/int4_sweep2.py, v5e).
+# Env knobs for on-hardware sweeps.
+CAP_N = int(os.environ.get("LADE_INT4_CAP_N", "16384"))
+CAP_K = int(os.environ.get("LADE_INT4_CAP_K", "2816"))
 
 
 def _pick_block(dim: int, cap: int = 2048, floor: int = 256) -> int:
@@ -162,6 +165,13 @@ def int4_matmul(
     block_n = block_n or _pick_block(n, cap=CAP_N)
     block_k = block_k or _pick_block(k2, cap=CAP_K, floor=256)
     assert block_n and block_k, "untileable shapes; use the dequant fallback"
+    # combined guard: the unpack materializes the block at i32 width in
+    # VMEM, so bound block_k x block_n (12M int8 elems ~= 48MB unpacked)
+    while block_k * block_n > 12 * 1024 * 1024 and block_n > 256:
+        smaller = _pick_block(n, cap=block_n - 128)
+        if not smaller:
+            break
+        block_n = smaller
     n_kblocks = k2 // block_k
     t_pad = -(-t // 8) * 8
     if t_pad != t:
