@@ -21,14 +21,18 @@ GUESS_SIZE (= LEVEL-1 = 6), the same cap the reference has
 Beyond the headline, the run reports driver-visible variants in ``detail``:
 
   realistic_compression — same 1.1B architecture with the layer-weight scale
-      raised so greedy decoding *deviates* from the transition cycle at
-      realistic rates: n-gram guesses miss, partial prefixes are accepted,
-      and the compression ratio lands in the reference's claimed 1.5-2.3
-      band (reference README.md:90) instead of at the cap. Reuses the
-      headline engine's compiled loops (only the params change).
+      raised (on-chip-calibrated 0.036) so greedy decoding *deviates* from
+      the transition cycle at realistic rates: n-gram guesses miss, partial
+      prefixes are accepted, and the compression ratio lands in the
+      reference's claimed 1.5-2.3 band (reference README.md:90) instead of
+      at the cap. Measured at the demo config AND the reference's
+      recommended realistic config L5/W7/G7 (README.md:151).
   int8_kv / int8_weights / int4_weights — quantized decode variants
-      (BASELINE.json north star). Each reports its own AR baseline from the
-      same quantized model.
+      (BASELINE.json north star), each at its best measured kernel/fusion
+      config with its own AR baseline from the same quantized model.
+  quant_ordering_3b — int8 vs int4 at a 3B-class arch, where weight bytes
+      dominate the fixed kernel overheads (evidence toward the 70B INT4
+      north star).
 
 Variants are time-budgeted (env LADE_BENCH_BUDGET_S, default 2100s): when
 the budget is exhausted remaining variants are recorded as "skipped" so the
@@ -184,20 +188,41 @@ def main():
         return BUDGET_S - (time.time() - T_START)
 
     # ---------------- realistic-compression variant ---------------------
-    # Same architecture/config -> the jitted loops are reused verbatim;
-    # only the parameter values change.
-    if budget_left() > 120:
+    # layer_scale 0.036 calibrated on-chip (scripts/calibrate_noisy.py) to
+    # land step compression in the reference's claimed 1.5-2.3 band
+    # (reference README.md:90) instead of at the GUESS_SIZE cap. Measured
+    # at TWO lookahead configs: the demo config (L7/W20/G20 — reuses the
+    # headline engine's compiled loops) and the reference's recommended
+    # realistic config for 7B-class models, L5/W7/G7 (reference
+    # README.md:151): at mid-band compression a small composite wins —
+    # the big window's extra per-step rows no longer pay for themselves.
+    if budget_left() > 240:
         try:
-            _, noisy_params, nxt2 = build_predictable_tinyllama(
+            _, noisy_params, nxt2 = build_predictable_model(
                 seed=1, layer_scale=float(
-                    os.environ.get("LADE_BENCH_NOISY_SCALE", "0.012")))
+                    os.environ.get("LADE_BENCH_NOISY_SCALE", "0.036")))
+            p2 = make_prompt(nxt2)
+            rc = {"noisy_scale": float(
+                os.environ.get("LADE_BENCH_NOISY_SCALE", "0.036"))}
             eng.params = noisy_params
-            res, rr, _ = run_pair(eng, make_prompt(nxt2), N_NEW, "realistic")
+            res, rr, _ = run_pair(eng, p2, N_NEW, "realistic L7W20G20")
             toks = rr.tokens
             fid = np.mean([toks[i + 1] == nxt2[toks[i]]
                            for i in range(63, len(toks) - 1)])
             res["transition_fidelity"] = round(float(fid), 3)
-            variants["realistic_compression"] = res
+            rc["demo_config_L7W20G20"] = res
+            eng.params = params
+            if budget_left() > 240:
+                eng7 = lt.LookaheadEngine(
+                    mcfg, noisy_params,
+                    lt.LookaheadConfig(level=5, window_size=7,
+                                       guess_set_size=7,
+                                       pool_from_prompt=True),
+                    lt.EngineConfig(max_seq_len=1024, prefill_chunk=128))
+                res7, _, _ = run_pair(eng7, p2, N_NEW, "realistic L5W7G7")
+                rc["ref_config_L5W7G7"] = res7
+                del eng7
+            variants["realistic_compression"] = rc
         except Exception as e:  # pragma: no cover - bench resilience
             variants["realistic_compression"] = {"error": str(e)[:200]}
         finally:
