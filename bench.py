@@ -275,6 +275,9 @@ def main():
             p3 = make_prompt(nxt3)
             r3 = {}
             for nm, bits in (("int8", 8), ("int4", 4)):
+                if budget_left() < 300:   # each engine re-checks: a cold
+                    r3[nm] = "skipped (budget)"   # 3B compile is minutes
+                    continue
                 e = quant_engine(mcfg3, params3, quant_bits=bits)
                 res, _, _ = run_pair(e, p3, N_NEW, f"3b_{nm}")
                 r3[nm] = res
