@@ -39,6 +39,9 @@ def time_step(eng, label, n=40):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--attn", default="xla", choices=("xla", "pallas"))
+    ap.add_argument("--level", type=int, default=7)
+    ap.add_argument("--window", type=int, default=20)
+    ap.add_argument("--guess", type=int, default=20)
     args = ap.parse_args()
 
     import jax
@@ -51,7 +54,8 @@ def main():
     from bench import build_predictable_tinyllama
 
     mcfg, params, _ = build_predictable_tinyllama()
-    lcfg = lt.LookaheadConfig(level=7, window_size=20, guess_set_size=20,
+    lcfg = lt.LookaheadConfig(level=args.level, window_size=args.window,
+                              guess_set_size=args.guess,
                               pool_from_prompt=True, attention_impl=args.attn)
     ecfg = lt.EngineConfig(max_seq_len=1024, prefill_chunk=128)
 
