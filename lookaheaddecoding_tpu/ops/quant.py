@@ -19,11 +19,35 @@ into the MXU operand load — weights stream from HBM at the quantized width.
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("bits",))
+def _quantize_fused(wf, bits: int):
+    """Jitted so XLA streams the big stacks through fused elementwise ops —
+    eager mode materializes every intermediate ([L, in, out] fp32 temps
+    OOM'd the device on 3B-class trees)."""
+    wf = wf.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)
+    if bits == 8:
+        scale = jnp.maximum(amax / 127.0, 1e-8)
+        q = jnp.clip(jnp.rint(wf / scale), -127, 127).astype(jnp.int8)
+        return {"q": q, "scale": scale}
+    scale = jnp.maximum(amax / 7.0, 1e-8)
+    q = jnp.clip(jnp.rint(wf / scale), -7, 7).astype(jnp.int8)
+    # Split-half packing: byte row r holds input rows r (low nibble) and
+    # r + K/2 (high nibble). Unpacking is then a plain concat of the two
+    # nibble planes — no row interleave — which keeps the in-kernel
+    # dequant (ops/quant_matmul.py) free of sublane shuffles.
+    half = q.shape[-2] // 2
+    lo = q[..., :half, :] & 0x0F
+    hi = (q[..., half:, :] & 0x0F) << 4
+    return {"q4": (lo | hi).astype(jnp.int8), "scale": scale}
 
 
 def quantize_weight(w: jax.Array, bits: int = 8) -> Dict[str, Any]:
@@ -32,26 +56,12 @@ def quantize_weight(w: jax.Array, bits: int = 8) -> Dict[str, Any]:
     ON DEVICE: weights never round-trip to the host (pulling a multi-GB
     param tree over the remote-TPU tunnel took minutes; on-device this is
     milliseconds)."""
-    wf = jnp.asarray(w).astype(jnp.float32)
-    amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)
-    if bits == 8:
-        scale = jnp.maximum(amax / 127.0, 1e-8)
-        q = jnp.clip(jnp.rint(wf / scale), -127, 127).astype(jnp.int8)
-        return {"q": q, "scale": scale}
-    elif bits == 4:
-        scale = jnp.maximum(amax / 7.0, 1e-8)
-        q = jnp.clip(jnp.rint(wf / scale), -7, 7).astype(jnp.int8)
-        # Split-half packing: byte row r holds input rows r (low nibble) and
-        # r + K/2 (high nibble). Unpacking is then a plain concat of the two
-        # nibble planes — no row interleave — which keeps the in-kernel
-        # dequant (ops/quant_matmul.py) free of sublane shuffles.
-        assert q.shape[-2] % 2 == 0, "input dim must be even for int4 packing"
-        half = q.shape[-2] // 2
-        lo = q[..., :half, :] & 0x0F
-        hi = (q[..., half:, :] & 0x0F) << 4
-        packed = (lo | hi).astype(jnp.int8)
-        return {"q4": packed, "scale": scale}
-    raise ValueError(f"unsupported bits: {bits}")
+    if bits not in (8, 4):
+        raise ValueError(f"unsupported bits: {bits}")
+    w = jnp.asarray(w)
+    if bits == 4:
+        assert w.shape[-2] % 2 == 0, "input dim must be even for int4 packing"
+    return _quantize_fused(w, bits)
 
 
 def dequantize_weight(wq: Dict[str, Any], dtype=jnp.bfloat16) -> jax.Array:
