@@ -234,7 +234,7 @@ def main():
     # Each runs its best measured configuration (scripts/int4_sweep*.py):
     # int8 = unfused + int8 lm_head; int4 = gate_up-fused + huge-N-block
     # Pallas kernel + int8 lm_head.
-    def quant_engine(mc, p, quant_bits=None, kv_quant=None):
+    def quant_engine(mc, p, quant_bits=None, kv_quant=None, lc=None):
         from lookaheaddecoding_tpu.models.llama import fuse_params
         from lookaheaddecoding_tpu.ops.quant import quantize_params
         if quant_bits == 4:
@@ -243,7 +243,7 @@ def main():
             p = quantize_params(p, bits=quant_bits, quantize_lm_head=True,
                                 lm_head_bits=8)
         return lt.LookaheadEngine(
-            mc, p, lcfg,
+            mc, p, lc or lcfg,
             lt.EngineConfig(max_seq_len=1024, prefill_chunk=128,
                             kv_quant=kv_quant))
 
@@ -273,12 +273,20 @@ def main():
                 seed=2, hidden=3072, inter=11264, layers=24, heads=24,
                 kv_heads=8)
             p3 = make_prompt(nxt3)
+            # L5/W7/G7 (the reference's recommended config for 7B-class
+            # models): the L7/W20/G20 composite's decode-loop graph at 3B
+            # shapes exceeds the remote compile helper's memory cap
+            # (subprocess SIGKILL) — and the quant ORDERING story doesn't
+            # depend on the lookahead config.
+            lcfg3 = lt.LookaheadConfig(level=5, window_size=7,
+                                       guess_set_size=7,
+                                       pool_from_prompt=True)
             r3 = {}
             for nm, bits in (("int8", 8), ("int4", 4)):
                 if budget_left() < 300:   # each engine re-checks: a cold
                     r3[nm] = "skipped (budget)"   # 3B compile is minutes
                     continue
-                e = quant_engine(mcfg3, params3, quant_bits=bits)
+                e = quant_engine(mcfg3, params3, quant_bits=bits, lc=lcfg3)
                 res, _, _ = run_pair(e, p3, N_NEW, f"3b_{nm}")
                 r3[nm] = res
                 del e
