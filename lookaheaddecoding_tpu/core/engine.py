@@ -182,6 +182,63 @@ class LookaheadEngine:
         self._vloop = jax.jit(
             jax.vmap(fns.decode_loop, in_axes=(None, 0, None, None)),
             donate_argnums=(1,))
+        # Fused whole-generate calls: alloc + init + pool fill + prefill +
+        # decode loop in ONE dispatch. Over a remote-TPU link every jit
+        # call and scalar readback is a round trip (~tens of ms); the
+        # 4-dispatch pipeline cost ~25% of a 256-token generate's wall
+        # time. Streaming/serving keep the staged path (they need per-step
+        # host interaction).
+        self._fused_greedy = jax.jit(
+            self._make_fused(fns.decode_loop), donate_argnums=(1,))
+        self._fused_baseline = jax.jit(
+            self._make_fused(fns.baseline_loop), donate_argnums=(1,))
+
+    def _make_fused(self, loop_fn):
+        from .pool import apply_host_fill
+
+        def call(params, out_buf, prompt_len, rng, fill, max_new, eos,
+                 *extra):
+            k_cache, v_cache = llama.make_kv_cache(
+                self.mcfg, self.ecfg.max_seq_len, quant=self.ecfg.kv_quant)
+            pool = pool_init(
+                pool_table_rows(self.mcfg.vocab_size, self.lcfg.pool_key_len,
+                                self.lcfg.pool_hash_size),
+                self.layout.guess_set_size, self.layout.guess_size)
+            state = self._fns.init_state(
+                k_cache, v_cache, pool, out_buf, prompt_len, rng)
+            if fill is not None:
+                state = state._replace(
+                    pool=apply_host_fill(state.pool, *fill))
+            state = self._fns.prefill_all(params, state)
+            return loop_fn(params, state, max_new, eos, *extra)
+
+        return call
+
+    def _run_fused(self, fused, prompt_ids, seed, max_new_tokens, eos,
+                   *extra):
+        prompt = np.asarray(prompt_ids, np.int32).reshape(-1)
+        P = len(prompt)
+        M = self.ecfg.max_seq_len
+        if P < 1:
+            raise ValueError("empty prompt")
+        if P - 1 + self.layout.seq_len > M:
+            raise ValueError(
+                f"prompt ({P}) + composite step ({self.layout.seq_len}) "
+                f"exceeds max_seq_len ({M})")
+        out_buf = np.zeros((M + self.layout.guess_size,), np.int32)
+        out_buf[:P] = prompt
+        fill = None
+        if self.lcfg.pool_from_prompt:
+            from .pool import host_prompt_fill
+            fill = host_prompt_fill(
+                prompt, self.lcfg.level, self.layout.guess_set_size,
+                pad_to=M, key_len=self.lcfg.pool_key_len,
+                table_rows=pool_table_rows(
+                    self.mcfg.vocab_size, self.lcfg.pool_key_len,
+                    self.lcfg.pool_hash_size))
+        return fused(self.params, jnp.asarray(out_buf), jnp.int32(P),
+                     jax.random.PRNGKey(seed), fill,
+                     jnp.int32(max_new_tokens), eos, *extra)
 
     # ------------------------------------------------------------------
     def _prepare(self, prompt_ids: Sequence[int], seed: int) -> DecodeState:
@@ -225,14 +282,18 @@ class LookaheadEngine:
     def _finalize(
         self, state: DecodeState, max_new: int, t0: float
     ) -> GenerationResult:
-        n_confirmed = int(state.n_confirmed)
-        init_len = int(state.init_len)
+        # one batched device->host transfer (each scalar int() would be its
+        # own round trip over a remote-TPU link)
+        n_confirmed, init_len, step_idx, out_buf = jax.device_get(
+            (state.n_confirmed, state.init_len, state.step_idx,
+             state.out_buf))
+        n_confirmed, init_len = int(n_confirmed), int(init_len)
         total = min(n_confirmed, init_len + max_new)  # trim overshoot
-        tokens = np.asarray(state.out_buf[:total])
+        tokens = np.asarray(out_buf[:total])
         res = GenerationResult(
             tokens=tokens,
             prompt_len=init_len,
-            steps=int(state.step_idx),
+            steps=int(step_idx),
             wall_time_s=time.perf_counter() - t0,
         )
         if self.log is not None:
@@ -250,10 +311,8 @@ class LookaheadEngine:
         """Greedy lookahead generation (reference
         jacobi_greedy_search_multilevel, decoding.py:697-1259)."""
         t0 = time.perf_counter()
-        state = self._prepare(prompt_ids, seed)
-        eos = _eos_vec(eos_token_id)
-        state = self._loop(self.params, state, jnp.int32(max_new_tokens), eos)
-        state = jax.block_until_ready(state)
+        state = self._run_fused(self._fused_greedy, prompt_ids, seed,
+                                max_new_tokens, _eos_vec(eos_token_id))
         return self._finalize(state, max_new_tokens, t0)
 
     def generate_sample(
@@ -277,14 +336,12 @@ class LookaheadEngine:
             fns = build_step_fns(self.mcfg, self.lcfg, self.ecfg, self.layout,
                                  top_k=sampling.top_k, use_top_p=use_top_p,
                                  mesh=self.mesh)
-            loop = jax.jit(fns.sample_loop, donate_argnums=(1,))
+            loop = jax.jit(self._make_fused(fns.sample_loop),
+                           donate_argnums=(1,))
             self._sample_loops[key] = loop
-        state = self._prepare(prompt_ids, seed)
-        eos = _eos_vec(eos_token_id)
-        state = loop(
-            self.params, state, jnp.int32(max_new_tokens), eos,
+        state = self._run_fused(
+            loop, prompt_ids, seed, max_new_tokens, _eos_vec(eos_token_id),
             jnp.float32(sampling.temperature), jnp.float32(sampling.top_p))
-        state = jax.block_until_ready(state)
         return self._finalize(state, max_new_tokens, t0)
 
     def generate_batch(
@@ -326,10 +383,8 @@ class LookaheadEngine:
         """Vanilla autoregressive greedy decoding on the same weights/KV
         machinery — the comparison target for exactness and speedup."""
         t0 = time.perf_counter()
-        state = self._prepare(prompt_ids, seed)
-        eos = _eos_vec(eos_token_id)
-        state = self._baseline(self.params, state, jnp.int32(max_new_tokens), eos)
-        state = jax.block_until_ready(state)
+        state = self._run_fused(self._fused_baseline, prompt_ids, seed,
+                                max_new_tokens, _eos_vec(eos_token_id))
         return self._finalize(state, max_new_tokens, t0)
 
     def generate_stream(
