@@ -237,11 +237,16 @@ def main():
     def quant_engine(mc, p, quant_bits=None, kv_quant=None, lc=None):
         from lookaheaddecoding_tpu.models.llama import fuse_params
         from lookaheaddecoding_tpu.ops.quant import quantize_params
-        if quant_bits == 4:
-            p = fuse_params(p)   # fused qkv+gate_up: best measured (sweep3)
         if quant_bits:
             p = quantize_params(p, bits=quant_bits, quantize_lm_head=True,
                                 lm_head_bits=8)
+        if quant_bits == 4:
+            # fused qkv+gate_up: best measured (sweep3). Fusing AFTER
+            # quantization is exactly equivalent (output-channel concat
+            # commutes with per-output-channel scales) and concatenates
+            # int4 bytes instead of duplicating the bf16 stacks — the
+            # bf16 copy OOM'd the chip on the 3B variant.
+            p = fuse_params(p)
         return lt.LookaheadEngine(
             mc, p, lc or lcfg,
             lt.EngineConfig(max_seq_len=1024, prefill_chunk=128,
@@ -269,10 +274,7 @@ def main():
     # chip's reach.
     if budget_left() > 700:
         try:
-            mcfg3, params3, nxt3 = build_predictable_model(
-                seed=2, hidden=3072, inter=11264, layers=24, heads=24,
-                kv_heads=8)
-            p3 = make_prompt(nxt3)
+            import gc
             # L5/W7/G7 (the reference's recommended config for 7B-class
             # models): the L7/W20/G20 composite's decode-loop graph at 3B
             # shapes exceeds the remote compile helper's memory cap
@@ -286,10 +288,20 @@ def main():
                 if budget_left() < 300:   # each engine re-checks: a cold
                     r3[nm] = "skipped (budget)"   # 3B compile is minutes
                     continue
+                # rebuild the bf16 model per engine and free it right
+                # after quantizing: bf16 (6.6 GB) + both quant trees
+                # co-resident exhausted the 16 GB chip
+                mcfg3, params3, nxt3 = build_predictable_model(
+                    seed=2, hidden=3072, inter=11264, layers=24, heads=24,
+                    kv_heads=8)
+                p3 = make_prompt(nxt3)
                 e = quant_engine(mcfg3, params3, quant_bits=bits, lc=lcfg3)
+                del params3
+                gc.collect()
                 res, _, _ = run_pair(e, p3, N_NEW, f"3b_{nm}")
                 r3[nm] = res
                 del e
+                gc.collect()
             variants["quant_ordering_3b"] = r3
         except Exception as e:  # pragma: no cover - bench resilience
             variants["quant_ordering_3b"] = {"error": str(e)[:200]}
