@@ -9,11 +9,12 @@ lade/utils.py:13-72, lade/decoding.py:15-34) with a self-contained engine:
                                                        guess_set_size=7))
     out = eng.generate(tok(prompt).input_ids, max_new_tokens=256)
 
-``generate`` runs one jitted whole-prompt prefill call plus ONE jitted
-``lax.while_loop`` for the whole decode; the only host<->device traffic per
-call is the prompt upload and the final token download. ``generate_stream``
-steps one jitted iteration at a time for chat streaming (the analog of
-the reference's CHAT=1 incremental printing, decoding.py:1180-1194).
+``generate`` is ONE jitted dispatch — KV/pool allocation, window init,
+prompt-pool fill, whole-prompt prefill and the decode ``lax.while_loop``
+fused into a single call — plus one batched result download; nothing else
+crosses the host<->device link. ``generate_stream`` steps one jitted
+iteration at a time for chat streaming (the analog of the reference's
+CHAT=1 incremental printing, decoding.py:1180-1194).
 """
 
 from __future__ import annotations
@@ -113,7 +114,7 @@ class LookaheadEngine:
             # The fused kernel is the default everywhere it tiles: a single
             # scratch-free block covers M <= 1024 (head-to-head parity with
             # the dense path there, medians within run noise) and the
-            # online-softmax grid wins at long context (+22% e2e at M=4096).
+            # online-softmax grid wins at long context (+77% e2e at M=4096).
             # Capacities that don't divide into its KV blocks fall back, as
             # does the CPU backend (where the kernel would only run in slow
             # interpret mode — tests pin the dense path's semantics there
