@@ -171,34 +171,33 @@ class LookaheadEngine:
         fns = build_step_fns(self.mcfg, self.lcfg, self.ecfg, self.layout,
                              mesh=mesh)
         self._fns = fns
-        self._init_state = jax.jit(fns.init_state, donate_argnums=(0, 1, 3))
-        self._prefill = jax.jit(fns.prefill_all, donate_argnums=(1,))
         self._loop = jax.jit(fns.decode_loop, donate_argnums=(1,))
         self._step = jax.jit(fns.decode_step, donate_argnums=(1,))
         self._baseline = jax.jit(fns.baseline_loop, donate_argnums=(1,))
         self._baseline_step = jax.jit(fns.baseline_step, donate_argnums=(1,))
-        from .pool import apply_host_fill
-        self._apply_fill = jax.jit(apply_host_fill, donate_argnums=(0,))
         self._sample_loops = {}   # top_k -> jitted sampling loop
         self._vloop = jax.jit(
             jax.vmap(fns.decode_loop, in_axes=(None, 0, None, None)),
             donate_argnums=(1,))
-        # Fused whole-generate calls: alloc + init + pool fill + prefill +
-        # decode loop in ONE dispatch. Over a remote-TPU link every jit
-        # call and scalar readback is a round trip (~tens of ms); the
+        # Fused dispatches: alloc + init + pool fill + prefill (+ decode
+        # loop) in ONE jit call. Over a remote-TPU link every jit call and
+        # scalar readback is a round trip (~tens of ms); the staged
         # 4-dispatch pipeline cost ~25% of a 256-token generate's wall
-        # time. Streaming/serving keep the staged path (they need per-step
-        # host interaction).
+        # time, and per-request admission dominated serving throughput.
+        self._fused_prepare = jax.jit(
+            self._make_fused(None), donate_argnums=(1,))
         self._fused_greedy = jax.jit(
             self._make_fused(fns.decode_loop), donate_argnums=(1,))
         self._fused_baseline = jax.jit(
             self._make_fused(fns.baseline_loop), donate_argnums=(1,))
 
     def _make_fused(self, loop_fn):
+        """One traced call: state alloc/init/fill/prefill, then (when
+        ``loop_fn`` is given) the whole decode loop."""
         from .pool import apply_host_fill
 
-        def call(params, out_buf, prompt_len, rng, fill, max_new, eos,
-                 *extra):
+        def call(params, out_buf, prompt_len, rng, fill, max_new=None,
+                 eos=None, *extra):
             k_cache, v_cache = llama.make_kv_cache(
                 self.mcfg, self.ecfg.max_seq_len, quant=self.ecfg.kv_quant)
             pool = pool_init(
@@ -211,12 +210,14 @@ class LookaheadEngine:
                 state = state._replace(
                     pool=apply_host_fill(state.pool, *fill))
             state = self._fns.prefill_all(params, state)
+            if loop_fn is None:
+                return state
             return loop_fn(params, state, max_new, eos, *extra)
 
         return call
 
-    def _run_fused(self, fused, prompt_ids, seed, max_new_tokens, eos,
-                   *extra):
+    def _host_args(self, prompt_ids, seed):
+        """Validate the prompt and build the fused call's host operands."""
         prompt = np.asarray(prompt_ids, np.int32).reshape(-1)
         P = len(prompt)
         M = self.ecfg.max_seq_len
@@ -237,48 +238,21 @@ class LookaheadEngine:
                 table_rows=pool_table_rows(
                     self.mcfg.vocab_size, self.lcfg.pool_key_len,
                     self.lcfg.pool_hash_size))
-        return fused(self.params, jnp.asarray(out_buf), jnp.int32(P),
-                     jax.random.PRNGKey(seed), fill,
+        return (jnp.asarray(out_buf), jnp.int32(P),
+                jax.random.PRNGKey(seed), fill)
+
+    def _run_fused(self, fused, prompt_ids, seed, max_new_tokens, eos,
+                   *extra):
+        out_buf, P, rng, fill = self._host_args(prompt_ids, seed)
+        return fused(self.params, out_buf, P, rng, fill,
                      jnp.int32(max_new_tokens), eos, *extra)
 
     # ------------------------------------------------------------------
     def _prepare(self, prompt_ids: Sequence[int], seed: int) -> DecodeState:
-        prompt = np.asarray(prompt_ids, np.int32).reshape(-1)
-        P = len(prompt)
-        M = self.ecfg.max_seq_len
-        S = self.layout.seq_len
-        if P < 1:
-            raise ValueError("empty prompt")
-        if P - 1 + S > M:
-            raise ValueError(
-                f"prompt ({P}) + composite step ({S}) exceeds max_seq_len ({M})")
-
-        out_buf = np.zeros((M + self.layout.guess_size,), np.int32)
-        out_buf[:P] = prompt
-        k_cache, v_cache = llama.make_kv_cache(
-            self.mcfg, M, quant=self.ecfg.kv_quant)
-        pool_rows = pool_table_rows(
-            self.mcfg.vocab_size, self.lcfg.pool_key_len,
-            self.lcfg.pool_hash_size)
-        pool = pool_init(
-            pool_rows, self.layout.guess_set_size, self.layout.guess_size)
-        state = self._init_state(
-            k_cache, v_cache, pool, jnp.asarray(out_buf),
-            jnp.int32(P), jax.random.PRNGKey(seed),
-        )
-        if self.lcfg.pool_from_prompt:
-            from .pool import host_prompt_fill
-            fill = host_prompt_fill(
-                prompt, self.lcfg.level, self.layout.guess_set_size,
-                pad_to=M, key_len=self.lcfg.pool_key_len,
-                table_rows=pool_rows)
-            state = state._replace(pool=self._apply_fill(state.pool, *fill))
-
-        # Whole-prompt prefill in one jitted call (prompt[:-1]; the final
-        # prompt token rides in the first composite step's lst slot).
-        if P > 1:
-            state = self._prefill(self.params, state)
-        return state
+        """Prefilled DecodeState in one dispatch (streaming/serving/batch
+        drive the decode loop themselves)."""
+        out_buf, P, rng, fill = self._host_args(prompt_ids, seed)
+        return self._fused_prepare(self.params, out_buf, P, rng, fill)
 
     def _finalize(
         self, state: DecodeState, max_new: int, t0: float
