@@ -176,9 +176,7 @@ class LookaheadEngine:
         self._baseline = jax.jit(fns.baseline_loop, donate_argnums=(1,))
         self._baseline_step = jax.jit(fns.baseline_step, donate_argnums=(1,))
         self._sample_loops = {}   # top_k -> jitted sampling loop
-        self._vloop = jax.jit(
-            jax.vmap(fns.decode_loop, in_axes=(None, 0, None, None)),
-            donate_argnums=(1,))
+        self._vfused = None       # batched fused generate (built lazily)
         # Fused dispatches: alloc + init + pool fill + prefill (+ decode
         # loop) in ONE jit call. Over a remote-TPU link every jit call and
         # scalar readback is a round trip (~tens of ms); the staged
@@ -333,18 +331,45 @@ class LookaheadEngine:
         capability beyond it, and the stepping stone to continuous batching.
         """
         t0 = time.perf_counter()
-        states = [self._prepare(p, seed + i) for i, p in enumerate(prompts)]
-        batched = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
-        eos = _eos_vec(eos_token_id)
-        batched = self._vloop(
-            self.params, batched, jnp.int32(max_new_tokens), eos)
-        batched = jax.block_until_ready(batched)
+        args = [self._host_args(p, seed + i) for i, p in enumerate(prompts)]
+        out_bufs = jnp.stack([a[0] for a in args])
+        ps = jnp.stack([a[1] for a in args])
+        rngs = jnp.stack([a[2] for a in args])
+        fills = None
+        if args[0][3] is not None:
+            fills = tuple(
+                jnp.stack([jnp.asarray(a[3][j]) for a in args])
+                for j in range(4))
+        if self._vfused is None:
+            prep = self._make_fused(None)
+
+            def bcall(params, out_bufs, ps, rngs, fills, max_new, eos):
+                states = jax.vmap(
+                    prep, in_axes=(None, 0, 0, 0,
+                                   None if fills is None else 0))(
+                    params, out_bufs, ps, rngs, fills)
+                return jax.vmap(
+                    self._fns.decode_loop, in_axes=(None, 0, None, None))(
+                    params, states, max_new, eos)
+
+            self._vfused = jax.jit(bcall, donate_argnums=(1,))
+        batched = self._vfused(self.params, out_bufs, ps, rngs, fills,
+                               jnp.int32(max_new_tokens),
+                               _eos_vec(eos_token_id))
+        # one batched readback for every lane's scalars + tokens
+        n_conf, init_len, steps, bufs = jax.device_get(
+            (batched.n_confirmed, batched.init_len, batched.step_idx,
+             batched.out_buf))
         out = []
         wall = time.perf_counter() - t0
         for i in range(len(prompts)):
-            lane = jax.tree.map(lambda x: x[i], batched)
-            res = self._finalize(lane, max_new_tokens, t0)
-            res.wall_time_s = wall
+            total = min(int(n_conf[i]), int(init_len[i]) + max_new_tokens)
+            res = GenerationResult(
+                tokens=np.asarray(bufs[i][:total]),
+                prompt_len=int(init_len[i]), steps=int(steps[i]),
+                wall_time_s=wall)
+            if self.log is not None:
+                self.log.append(res)
             out.append(res)
         return out
 
