@@ -41,12 +41,15 @@ MAX_EOS_IDS = 4
 
 
 def pallas_tileable(max_seq_len: int) -> bool:
-    """Capacities the fused attention kernel tiles: a single scratch-free
-    block covers M <= 1024; beyond that the online-softmax grid needs a
-    lane-aligned (x128) KV-block divisor <= 1024 (e.g. 2560 -> 512-wide
-    blocks; 2056 has none)."""
+    """Capacities where the fused attention kernel is the right default: a
+    single scratch-free block covers M <= 1024; beyond that the
+    online-softmax grid needs a lane-aligned (x128) KV-block divisor in
+    [512, 1024] (e.g. 2560 -> 640-wide blocks). Capacities whose only
+    divisors are narrower (1408 -> 128) would run overhead-dominated
+    grids, so auto falls back to the XLA dense path there (2056 has no
+    lane-aligned divisor at all)."""
     return max_seq_len <= 1024 or any(
-        max_seq_len % c == 0 for c in range(1024, 127, -128))
+        max_seq_len % c == 0 for c in range(1024, 511, -128))
 
 
 def _eos_vec(eos_token_id):
@@ -124,17 +127,19 @@ class LookaheadEngine:
             self.lcfg = dataclasses.replace(
                 self.lcfg,
                 attention_impl="pallas" if use_pallas else "xla")
-        elif (self.lcfg.attention_impl == "pallas"
-                and jax.default_backend() != "cpu"
-                and not pallas_tileable(self.ecfg.max_seq_len)):
-            # fail at construction with an actionable message, not with a
-            # kernel-shape assert at first trace (CPU runs the kernel in
-            # interpret mode with per-call block sizing — tests rely on it)
-            raise ValueError(
-                f"attention_impl='pallas' needs a max_seq_len with a "
-                f"lane-aligned KV-block divisor (multiple of 128 works; "
-                f"got {self.ecfg.max_seq_len}); round the capacity or use "
-                f"attention_impl='xla'")
+        elif self.lcfg.attention_impl == "pallas":
+            # feasibility (any lane-aligned KV-block divisor) is weaker
+            # than the auto heuristic (divisor >= 512): explicit 'pallas'
+            # may run overhead-heavy grids, but an untileable capacity
+            # fails HERE with an actionable message, not at first trace
+            m = self.ecfg.max_seq_len
+            if m > 1024 and not any(
+                    m % c == 0 for c in range(1024, 127, -128)):
+                raise ValueError(
+                    f"attention_impl='pallas' needs a max_seq_len with a "
+                    f"lane-aligned KV-block divisor (multiple of 128 "
+                    f"works; got {m}); round the capacity or use "
+                    f"attention_impl='xla'")
         self.layout: Layout = build_layout(self.lcfg)
         self.log = log
         self.mesh = mesh
@@ -252,6 +257,22 @@ class LookaheadEngine:
         out_buf, P, rng, fill = self._host_args(prompt_ids, seed)
         return self._fused_prepare(self.params, out_buf, P, rng, fill)
 
+    def _build_result(self, n_confirmed, init_len, step_idx, out_buf,
+                      max_new: int, wall: float) -> GenerationResult:
+        """Result accounting from already-fetched host values (shared by
+        single and batched finalization)."""
+        n_confirmed, init_len = int(n_confirmed), int(init_len)
+        total = min(n_confirmed, init_len + max_new)  # trim overshoot
+        res = GenerationResult(
+            tokens=np.asarray(out_buf[:total]),
+            prompt_len=init_len,
+            steps=int(step_idx),
+            wall_time_s=wall,
+        )
+        if self.log is not None:
+            self.log.append(res)
+        return res
+
     def _finalize(
         self, state: DecodeState, max_new: int, t0: float
     ) -> GenerationResult:
@@ -260,18 +281,8 @@ class LookaheadEngine:
         n_confirmed, init_len, step_idx, out_buf = jax.device_get(
             (state.n_confirmed, state.init_len, state.step_idx,
              state.out_buf))
-        n_confirmed, init_len = int(n_confirmed), int(init_len)
-        total = min(n_confirmed, init_len + max_new)  # trim overshoot
-        tokens = np.asarray(out_buf[:total])
-        res = GenerationResult(
-            tokens=tokens,
-            prompt_len=init_len,
-            steps=int(step_idx),
-            wall_time_s=time.perf_counter() - t0,
-        )
-        if self.log is not None:
-            self.log.append(res)
-        return res
+        return self._build_result(n_confirmed, init_len, step_idx, out_buf,
+                                  max_new, time.perf_counter() - t0)
 
     # ------------------------------------------------------------------
     def generate(
@@ -360,18 +371,11 @@ class LookaheadEngine:
         n_conf, init_len, steps, bufs = jax.device_get(
             (batched.n_confirmed, batched.init_len, batched.step_idx,
              batched.out_buf))
-        out = []
         wall = time.perf_counter() - t0
-        for i in range(len(prompts)):
-            total = min(int(n_conf[i]), int(init_len[i]) + max_new_tokens)
-            res = GenerationResult(
-                tokens=np.asarray(bufs[i][:total]),
-                prompt_len=int(init_len[i]), steps=int(steps[i]),
-                wall_time_s=wall)
-            if self.log is not None:
-                self.log.append(res)
-            out.append(res)
-        return out
+        return [
+            self._build_result(n_conf[i], init_len[i], steps[i], bufs[i],
+                               max_new_tokens, wall)
+            for i in range(len(prompts))]
 
     def generate_baseline(
         self,

@@ -123,12 +123,9 @@ class ContinuousBatchingEngine:
                             if req.temperature is None else req.temperature)
                     topp = (self.sampling.top_p if req.top_p is None
                             else req.top_p)
-                    if not temp > 0:
-                        raise ValueError(
-                            "temperature must be > 0 (greedy lanes: build "
-                            "the engine without sampling)")
-                    if not 0 < topp <= 1.0:
-                        raise ValueError("top_p must be in (0, 1]")
+                    # reuse SamplingConfig's own validation rules
+                    dataclasses.replace(
+                        self.sampling, temperature=temp, top_p=topp)
                 state = self.engine._prepare(req.prompt, req.seed)
             except ValueError as e:
                 # bad request (empty / over-capacity prompt, bad eos list,

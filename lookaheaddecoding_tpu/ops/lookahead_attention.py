@@ -316,12 +316,13 @@ def lookahead_attention(
         # large KV blocks: one program covers M<=1024 (scratch-free direct
         # softmax); beyond that, the largest lane-aligned divisor <= 1024
         # keeps the scalar-driven skip of not-yet-live cache regions while
-        # bounding program count (e.g. M=2560 -> 512-wide blocks).
+        # bounding program count (e.g. M=2560 -> 640-wide blocks).
         block_k = m if m <= 1024 else next(
             (c for c in range(1024, 127, -128) if m % c == 0), 0)
-        assert block_k, (
-            f"cache capacity {m} has no lane-aligned KV block divisor; "
-            f"use a multiple of 128 or the xla attention impl")
+        if not block_k:
+            raise ValueError(
+                f"cache capacity {m} has no lane-aligned KV block divisor;"
+                f" use a multiple of 128 or the xla attention impl")
     block_k = min(block_k, m)
     assert m % block_k == 0, "cache capacity must be a multiple of block_k"
     n_blocks = m // block_k

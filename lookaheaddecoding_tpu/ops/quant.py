@@ -67,11 +67,12 @@ def quantize_weight(w: jax.Array, bits: int = 8) -> Dict[str, Any]:
 def dequantize_weight(wq: Dict[str, Any], dtype=jnp.bfloat16) -> jax.Array:
     if "q" in wq:
         return (wq["q"].astype(jnp.float32) * wq["scale"]).astype(dtype)
-    # int4: unpack interleaved rows
+    # int4: unpack the split-half nibble planes (axis -2 mirrors the
+    # packing, so stacked [L, K/2, N] trees dequantize correctly too)
     packed = wq["q4"]
     lo = (packed << 4).astype(jnp.int8) >> 4        # sign-extend low nibble
     hi = packed >> 4                                 # arithmetic shift
-    q = jnp.concatenate([lo, hi], axis=0)           # split-half layout
+    q = jnp.concatenate([lo, hi], axis=-2)          # split-half layout
     return (q.astype(jnp.float32) * wq["scale"]).astype(dtype)
 
 

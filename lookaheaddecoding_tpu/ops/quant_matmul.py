@@ -162,12 +162,14 @@ def int4_matmul(
     t, k = x.shape
     k2, n = q4.shape
     assert k == 2 * k2, "split-half packed weight mismatch"
+    auto_n = block_n == 0
     block_n = block_n or _pick_block(n, cap=CAP_N)
     block_k = block_k or _pick_block(k2, cap=CAP_K, floor=256)
     assert block_n and block_k, "untileable shapes; use the dequant fallback"
-    # combined guard: the unpack materializes the block at i32 width in
+    # combined guard (auto sizing only — explicit blocks are the caller's
+    # sweep to control): the unpack materializes the block at i32 width in
     # VMEM, so bound block_k x block_n (12M int8 elems ~= 48MB unpacked)
-    while block_k * block_n > 12 * 1024 * 1024 and block_n > 256:
+    while auto_n and block_k * block_n > 12 * 1024 * 1024 and block_n > 256:
         smaller = _pick_block(n, cap=block_n - 128)
         if not smaller:
             break

@@ -92,9 +92,11 @@ def test_auto_attention_falls_back_for_untileable_capacity():
     # tiling predicate used by auto-selection on accelerators
     assert not pallas_tileable(2056)     # no lane-aligned divisor
     assert pallas_tileable(2048)
-    assert pallas_tileable(2560)         # tiles as 512-wide KV blocks
+    assert pallas_tileable(2560)         # tiles as 640-wide KV blocks
     assert pallas_tileable(1024)
     assert pallas_tileable(768)          # single-block regime
+    # feasible-but-overhead-dominated (only 128-wide blocks): auto says no
+    assert not pallas_tileable(1408)
 
     # on the CPU backend auto always resolves to the dense path (the kernel
     # would only run in slow interpret mode there)
