@@ -409,9 +409,15 @@ class LookaheadEngine:
         step = self._step if lookahead else self._baseline_step
         init_len = int(state.init_len)
         served = init_len
-        while not bool(state.finished):
+        while True:
             state = step(self.params, state, max_new, eos)
-            n = min(int(state.n_confirmed), init_len + max_new_tokens)
+            # one batched readback for the per-step scalars (each int()
+            # would be its own round trip over a remote link)
+            finished, n_conf = jax.device_get(
+                (state.finished, state.n_confirmed))
+            n = min(int(n_conf), init_len + max_new_tokens)
             if n > served:
                 yield np.asarray(state.out_buf[served:n])
                 served = n
+            if bool(finished):
+                break
