@@ -30,21 +30,38 @@ Beyond the headline, the run reports driver-visible variants in ``detail``:
   int8_kv / int8_weights / int4_weights — quantized decode variants
       (BASELINE.json north star), each at its best measured kernel/fusion
       config with its own AR baseline from the same quantized model.
-  quant_ordering_3b — int8 vs int4 at a 3B-class arch, where weight bytes
-      dominate the fixed kernel overheads (evidence toward the 70B INT4
-      north star).
+  quant_ordering_7b — int8 vs int4 at the Llama-2-7B architecture (hidden
+      4096, 32 layers, MHA), where weight bytes dominate the fixed kernel
+      overheads. Weights are built pre-quantized leaf-by-leaf (a 13.5 GB
+      bf16 7B tree plus its quantized copy would not fit the 16 GB chip).
+  quant_ordering_3b — the same ordering at a 3B-class arch.
 
 Variants are time-budgeted (env LADE_BENCH_BUDGET_S, default 2100s): when
 the budget is exhausted remaining variants are recorded as "skipped" so the
 headline number always lands.
+
+Resilience (the round-2 lesson — BENCH_r02 was lost to a backend outage):
+the process forks into an ORCHESTRATOR and a CHILD. The orchestrator never
+touches the device; it probes ``jax.devices()`` in a subprocess with a hard
+per-attempt timeout (the axon call can HANG, not just raise, when the
+tunnel is down), retries for up to LADE_BENCH_BACKEND_WAIT_S (default
+1500s), runs the real bench as a killable child process, and retries the
+child once on failure. If the TPU never becomes reachable it runs a clearly
+labeled CPU-fallback measurement instead, so the driver record is never
+empty.
+
+Timing: median of LADE_BENCH_REPS (default 3) timed runs after two warm
+passes; every rep's tok/s is recorded in ``detail`` for auditability.
 
 Output: ONE JSON line on stdout:
   {"metric": ..., "value": tok/s speedup (lade vs AR), "unit": "x",
    "vs_baseline": value / 1.68 (the reference's headline TinyLlama speedup)}
 """
 
+import functools
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -52,11 +69,18 @@ import numpy as np
 
 T_START = time.time()
 BUDGET_S = float(os.environ.get("LADE_BENCH_BUDGET_S", "2100"))
+BACKEND_WAIT_S = float(os.environ.get("LADE_BENCH_BACKEND_WAIT_S", "1500"))
+REPS = int(os.environ.get("LADE_BENCH_REPS", "3"))
+REFERENCE_SPEEDUP = 1.68   # reference minimal.py:54-55 (44 -> 74 tok/s)
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
+
+# ===========================================================================
+# Model builders (synthetic weights; see module docstring)
+# ===========================================================================
 
 def build_predictable_model(seed=0, layer_scale=0.002, hidden=2048,
                             inter=5632, layers=22, heads=32, kv_heads=4):
@@ -82,20 +106,93 @@ def build_predictable_model(seed=0, layer_scale=0.002, hidden=2048,
     # structure to survive 22 layers).
     params = lt.init_params(mcfg, jax.random.PRNGKey(seed), scale=layer_scale)
 
-    rng = np.random.RandomState(seed)
+    embed_np, head_np, nxt = _transition_embed_head(seed, hidden)
     h = mcfg.hidden_size
-    embed = rng.randn(mcfg.vocab_size, h).astype(np.float32)
+    params["embed"] = jnp.asarray(embed_np * np.sqrt(h), jnp.bfloat16)
+    params["lm_head"] = jnp.asarray(head_np, jnp.bfloat16)
+    return mcfg, params, nxt
+
+
+def _transition_embed_head(seed, h, vocab=32000):
+    """Unit-vector embeddings + an LM head whose columns realize a
+    deterministic token-transition cycle (greedy decoding revisits recent
+    context — the repetitive regime lookahead decoding exploits and where
+    the reference reports its wins)."""
+    rng = np.random.RandomState(seed)
+    embed = rng.randn(vocab, h).astype(np.float32)
     embed /= np.linalg.norm(embed, axis=1, keepdims=True)
-    # Deterministic transition map whose orbit is a short cycle: greedy
-    # decoding revisits recent context, the repetitive regime lookahead
-    # decoding exploits (and where the reference reports its wins).
-    cycle = rng.choice(mcfg.vocab_size, size=64, replace=False)
-    nxt = np.full(mcfg.vocab_size, cycle[0], np.int64)
+    cycle = rng.choice(vocab, size=64, replace=False)
+    nxt = np.full(vocab, cycle[0], np.int64)
     nxt[cycle] = np.roll(cycle, -1)
-    head = np.zeros((h, mcfg.vocab_size), np.float32)
+    head = np.zeros((h, vocab), np.float32)
     head[:, nxt[cycle]] = embed[cycle].T          # logits peak at nxt(token)
-    params["embed"] = jnp.asarray(embed * np.sqrt(h), jnp.bfloat16)
-    params["lm_head"] = jnp.asarray(head, jnp.bfloat16)
+    return embed, head, nxt
+
+
+def build_predictable_model_quantized(seed, bits, hidden, inter, layers,
+                                      heads, kv_heads, layer_scale=0.002):
+    """Leaf-streamed PRE-QUANTIZED construction for 7B-class synthetic
+    models: each stacked projection is initialized and quantized in one
+    jitted pass and the bf16 temporary freed before the next leaf. Building
+    the full bf16 tree first (13.5 GB at 7B) alongside its quantized copy
+    would exceed the 16 GB chip; leaf streaming caps the transient at one
+    projection stack (~2.9 GB).
+
+    Produces exactly what ``quantize_params(init_params(...))`` would:
+    int8/int4 projection dicts, int8 lm_head, bf16 embed/norms."""
+    import jax
+    import jax.numpy as jnp
+    import lookaheaddecoding_tpu as lt
+    from lookaheaddecoding_tpu.ops.quant import quantize_weight
+
+    mcfg = lt.LlamaConfig(
+        vocab_size=32000, hidden_size=hidden, intermediate_size=inter,
+        num_hidden_layers=layers, num_attention_heads=heads,
+        num_key_value_heads=kv_heads,
+        max_position_embeddings=2048, dtype=jnp.bfloat16)
+    h, d = hidden, mcfg.head_dim
+    L, I, V = layers, inter, mcfg.vocab_size
+    hq, hkv = heads * d, kv_heads * d
+
+    def qinit(key, shape):
+        @jax.jit
+        def f(k):
+            w = (jax.random.normal(k, shape, jnp.float32)
+                 * layer_scale).astype(jnp.bfloat16)
+            return quantize_weight(w, bits)
+        out = f(key)
+        out["q" if "q" in out else "q4"].block_until_ready()
+        return out
+
+    ks = jax.random.split(jax.random.PRNGKey(seed), 10)
+    off = 1.0 - mcfg.rms_norm_offset
+    layers_tree = {
+        "input_norm": jnp.full((L, h), off, jnp.bfloat16),
+        "post_norm": jnp.full((L, h), off, jnp.bfloat16),
+        "wq": qinit(ks[1], (L, h, hq)),
+        "wk": qinit(ks[2], (L, h, hkv)),
+        "wv": qinit(ks[3], (L, h, hkv)),
+        "wo": qinit(ks[4], (L, hq, h)),
+        "w_gate": qinit(ks[5], (L, h, I)),
+        "w_up": qinit(ks[6], (L, h, I)),
+        "w_down": qinit(ks[7], (L, I, h)),
+    }
+    embed_np, head_np, nxt = _transition_embed_head(seed, h, V)
+    params = {
+        "embed": jnp.asarray(embed_np * np.sqrt(h), jnp.bfloat16),
+        "layers": layers_tree,
+        "final_norm": jnp.full((h,), off, jnp.bfloat16),
+        # int8 lm_head even for int4 weights: best measured config
+        # (scripts/int4_micro.py — the [H, V] matmul is XLA-fused at int8)
+        "lm_head": quantize_weight(
+            jnp.asarray(head_np, jnp.bfloat16), 8),
+    }
+    if bits == 4:
+        # fuse AFTER quantization: output-channel concat commutes with
+        # per-output-channel scales (exactly equivalent) and concatenates
+        # int4 bytes instead of duplicating bf16 stacks
+        from lookaheaddecoding_tpu.models.llama import fuse_params
+        params = fuse_params(params)
     return mcfg, params, nxt
 
 
@@ -112,41 +209,63 @@ def make_prompt(nxt, start=0, n=64):
     return prompt
 
 
-def time_generate(eng, prompt, n_new, baseline=False, reps=2):
-    """Compile+warm, then best-of-reps throughput."""
+# ===========================================================================
+# Timing (median-of-reps; every rep recorded)
+# ===========================================================================
+
+def time_generate(eng, prompt, n_new, baseline=False, reps=REPS):
+    """Compile + two warm passes, then median-of-reps throughput (first
+    timed call after compile can run ~2x slow on the remote chip, hence the
+    exact-shape warm passes). Returns (median_tps, all_rep_tps, result)."""
     gen = eng.generate_baseline if baseline else eng.generate
     gen(prompt, 8)
     gen(prompt, n_new)          # full-length warm pass
-    best_tps, r = 0.0, None
+    tps, r = [], None
     for _ in range(reps):
         t0 = time.time()
         r = gen(prompt, n_new)
-        best_tps = max(best_tps, r.num_generated / (time.time() - t0))
-    return best_tps, r
+        tps.append(r.num_generated / (time.time() - t0))
+    return float(np.median(tps)), [round(t, 1) for t in tps], r
 
 
 def run_pair(eng, prompt, n_new, label):
     """LADE + AR on one engine; returns the detail dict."""
     t0 = time.time()
-    lade_tps, r = time_generate(eng, prompt, n_new)
+    lade_tps, lade_reps, r = time_generate(eng, prompt, n_new)
     log(f"  [{label}] LADE: {r.num_generated} tok / {r.steps} steps "
-        f"(ratio {r.compression_ratio:.2f}) best {lade_tps:.1f} tok/s "
-        f"(compile+run {time.time()-t0:.0f}s)")
+        f"(ratio {r.compression_ratio:.2f}) median {lade_tps:.1f} tok/s "
+        f"reps {lade_reps} (compile+run {time.time()-t0:.0f}s)")
     t0 = time.time()
-    ar_tps, rb = time_generate(eng, prompt, n_new, baseline=True)
-    log(f"  [{label}] AR: best {ar_tps:.1f} tok/s "
+    ar_tps, ar_reps, rb = time_generate(eng, prompt, n_new, baseline=True)
+    log(f"  [{label}] AR: median {ar_tps:.1f} tok/s reps {ar_reps} "
         f"(compile+run {time.time()-t0:.0f}s)")
     exact = bool(np.array_equal(r.tokens, rb.tokens))
     return {
         "lade_tokens_per_sec": round(lade_tps, 1),
         "ar_tokens_per_sec": round(ar_tps, 1),
+        "lade_rep_tok_s": lade_reps,
+        "ar_rep_tok_s": ar_reps,
         "speedup": round(lade_tps / ar_tps, 3),
         "compression_ratio": round(r.compression_ratio, 2),
         "token_exact": exact,
     }, r, rb
 
 
-def main():
+def emit(value, detail):
+    print(json.dumps({
+        "metric": "tinyllama_1p1b_greedy_lookahead_speedup_vs_ar",
+        "value": value,
+        "unit": "x",
+        "vs_baseline": round(value / REFERENCE_SPEEDUP, 3),
+        "detail": detail,
+    }), flush=True)
+
+
+# ===========================================================================
+# The real bench (CHILD process: first to touch the device)
+# ===========================================================================
+
+def main_child():
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/jax_lade"))
@@ -179,7 +298,10 @@ def main():
 
     detail = {
         "config": "LEVEL=7 W=20 G=20 POOL_FROM_PROMPT=1, 256 new tokens",
+        "backend": jax.default_backend(),
+        "jax_version": jax.__version__,
         "attention_impl": eng.lcfg.attention_impl,
+        "timing": f"median of {REPS} reps after 2 warm passes",
         **headline,
     }
     variants = {}
@@ -192,10 +314,9 @@ def main():
     # land step compression in the reference's claimed 1.5-2.3 band
     # (reference README.md:90) instead of at the GUESS_SIZE cap. Measured
     # at TWO lookahead configs: the demo config (L7/W20/G20 — reuses the
-    # headline engine's compiled loops) and the reference's recommended
-    # realistic config for 7B-class models, L5/W7/G7 (reference
-    # README.md:151): at mid-band compression a small composite wins —
-    # the big window's extra per-step rows no longer pay for themselves.
+    # headline engine's compiled loops) and the best autotuned config at
+    # mid-band compression (see scripts/tune_realistic.py; falls back to
+    # the reference's recommended L5/W7/G7, reference README.md:151).
     if budget_left() > 240:
         try:
             _, noisy_params, nxt2 = build_predictable_model(
@@ -213,14 +334,19 @@ def main():
             rc["demo_config_L7W20G20"] = res
             eng.params = params
             if budget_left() > 240:
+                tuned = json.loads(os.environ.get(
+                    "LADE_BENCH_REALISTIC_CFG",
+                    '{"level": 5, "window_size": 7, "guess_set_size": 7}'))
                 eng7 = lt.LookaheadEngine(
                     mcfg, noisy_params,
-                    lt.LookaheadConfig(level=5, window_size=7,
-                                       guess_set_size=7,
-                                       pool_from_prompt=True),
+                    lt.LookaheadConfig(pool_from_prompt=True, **tuned),
                     lt.EngineConfig(max_seq_len=1024, prefill_chunk=128))
-                res7, _, _ = run_pair(eng7, p2, N_NEW, "realistic L5W7G7")
-                rc["ref_config_L5W7G7"] = res7
+                res7, _, _ = run_pair(
+                    eng7, p2, N_NEW,
+                    f"realistic L{tuned['level']}W{tuned['window_size']}"
+                    f"G{tuned['guess_set_size']}")
+                res7["config"] = tuned
+                rc["tuned_config"] = res7
                 del eng7
             variants["realistic_compression"] = rc
         except Exception as e:  # pragma: no cover - bench resilience
@@ -267,44 +393,52 @@ def main():
     quant_variant("int8_weights", quant_bits=8)
     quant_variant("int4_weights", quant_bits=4)
 
-    # ---------------- 3B-arch int4-vs-int8 ordering ---------------------
-    # The 1.1B arch is int4's worst case (per-program kernel overhead vs
-    # small dots); at 3B-class shapes weight bytes dominate and int4 must
-    # lead. Evidence for the BASELINE north star (70B INT4) within this
-    # chip's reach.
-    if budget_left() > 700:
-        try:
-            import gc
-            # L5/W7/G7 (the reference's recommended config for 7B-class
-            # models): the L7/W20/G20 composite's decode-loop graph at 3B
-            # shapes exceeds the remote compile helper's memory cap
-            # (subprocess SIGKILL) — and the quant ORDERING story doesn't
-            # depend on the lookahead config.
-            lcfg3 = lt.LookaheadConfig(level=5, window_size=7,
-                                       guess_set_size=7,
-                                       pool_from_prompt=True)
-            r3 = {}
-            for nm, bits in (("int8", 8), ("int4", 4)):
-                if budget_left() < 300:   # each engine re-checks: a cold
-                    r3[nm] = "skipped (budget)"   # 3B compile is minutes
-                    continue
-                # rebuild the bf16 model per engine and free it right
-                # after quantizing: bf16 (6.6 GB) + both quant trees
-                # co-resident exhausted the 16 GB chip
-                mcfg3, params3, nxt3 = build_predictable_model(
-                    seed=2, hidden=3072, inter=11264, layers=24, heads=24,
-                    kv_heads=8)
-                p3 = make_prompt(nxt3)
-                e = quant_engine(mcfg3, params3, quant_bits=bits, lc=lcfg3)
-                del params3
+    # ---------------- 7B-arch int4-vs-int8 ordering ---------------------
+    # The BASELINE north star names Llama-2 7B/70B (BASELINE.md:15-17).
+    # The full Llama-2-7B architecture (hidden 4096, 32 layers, MHA,
+    # inter 11008) fits this chip quantized: int4 ~3.5 GB, int8 ~6.8 GB.
+    # Weights are built pre-quantized leaf-by-leaf (see the builder).
+    # L5/W7/G7: the reference's recommended 7B config (README.md:151).
+    def quant_ordering(name, hidden, inter, layers, heads, kv_heads, seed,
+                       per_engine_floor):
+        lcfg5 = lt.LookaheadConfig(level=5, window_size=7,
+                                   guess_set_size=7, pool_from_prompt=True)
+        out = {}
+        for nm, bits in (("int4", 4), ("int8", 8)):
+            if budget_left() < per_engine_floor:
+                out[nm] = "skipped (budget)"
+                continue
+            try:
+                import gc
+                mc, qp, nx = build_predictable_model_quantized(
+                    seed=seed, bits=bits, hidden=hidden, inter=inter,
+                    layers=layers, heads=heads, kv_heads=kv_heads)
+                pr = make_prompt(nx)
+                e = lt.LookaheadEngine(
+                    mc, qp, lcfg5,
+                    lt.EngineConfig(max_seq_len=1024, prefill_chunk=128))
+                del qp
                 gc.collect()
-                res, _, _ = run_pair(e, p3, N_NEW, f"3b_{nm}")
-                r3[nm] = res
+                res, _, _ = run_pair(e, pr, N_NEW, f"{name}_{nm}")
+                out[nm] = res
                 del e
                 gc.collect()
-            variants["quant_ordering_3b"] = r3
-        except Exception as e:  # pragma: no cover - bench resilience
-            variants["quant_ordering_3b"] = {"error": str(e)[:200]}
+            except Exception as ex:  # pragma: no cover - bench resilience
+                out[nm] = {"error": str(ex)[:200]}
+        variants[name] = out
+
+    if budget_left() > 500:
+        quant_ordering("quant_ordering_7b", hidden=4096, inter=11008,
+                       layers=32, heads=32, kv_heads=32, seed=3,
+                       per_engine_floor=250)
+    else:
+        variants["quant_ordering_7b"] = "skipped (budget)"
+
+    # ---------------- 3B-arch ordering (evidence continuity with r2) ----
+    if budget_left() > 500:
+        quant_ordering("quant_ordering_3b", hidden=3072, inter=11264,
+                       layers=24, heads=24, kv_heads=8, seed=2,
+                       per_engine_floor=250)
     else:
         variants["quant_ordering_3b"] = "skipped (budget)"
 
@@ -312,14 +446,120 @@ def main():
     speedup = headline["speedup"]
     log(f"  headline speedup: {speedup:.2f}x (reference headline: 1.68x); "
         f"total bench time {time.time()-T_START:.0f}s")
+    emit(speedup, detail)
 
-    print(json.dumps({
-        "metric": "tinyllama_1p1b_greedy_lookahead_speedup_vs_ar",
-        "value": speedup,
-        "unit": "x",
-        "vs_baseline": round(speedup / 1.68, 3),
-        "detail": detail,
-    }))
+
+# ===========================================================================
+# CPU fallback (never leaves the driver record empty)
+# ===========================================================================
+
+def main_cpu_fallback(reason):
+    """The TPU backend never became reachable: measure the algorithmic
+    speedup on the CPU backend with a scaled-down model and label it
+    unmistakably. A labeled CPU measurement beats an empty round record."""
+    log(f"CPU FALLBACK: {reason}")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import lookaheaddecoding_tpu as lt
+
+    mcfg, params, nxt = build_predictable_model(
+        hidden=512, inter=1376, layers=8, heads=8, kv_heads=2)
+    lcfg = lt.LookaheadConfig(level=7, window_size=20, guess_set_size=20,
+                              pool_from_prompt=True)
+    eng = lt.LookaheadEngine(
+        mcfg, params, lcfg,
+        lt.EngineConfig(max_seq_len=512, prefill_chunk=128))
+    prompt = make_prompt(nxt)
+    res, r, rb = run_pair(eng, prompt, 128, "cpu-fallback")
+    detail = {
+        "backend": "CPU FALLBACK — TPU unreachable; NOT comparable to "
+                   "TPU rounds",
+        "fallback_reason": reason,
+        "jax_version": jax.__version__,
+        "config": "LEVEL=7 W=20 G=20, 50M-param arch, 128 new tokens",
+        "timing": f"median of {REPS} reps after 2 warm passes",
+        **res,
+    }
+    emit(res["speedup"], detail)
+
+
+# ===========================================================================
+# Orchestrator (PARENT: probes, launches, retries; never touches the device)
+# ===========================================================================
+
+def probe_backend(timeout_s=90):
+    """Run ``jax.devices()`` in a THROWAWAY subprocess with a hard timeout:
+    when the axon tunnel is down the call can hang indefinitely, and a hung
+    backend-init poisons the whole process — so never probe in-process."""
+    code = ("import jax; d = jax.devices(); "
+            "print('BACKEND_OK', len(d), d[0].platform, flush=True)")
+    try:
+        p = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True, timeout=timeout_s)
+        if p.returncode == 0 and "BACKEND_OK" in p.stdout:
+            return True, p.stdout.strip().split("BACKEND_OK", 1)[1].strip()
+        return False, (p.stderr or "")[-300:]
+    except subprocess.TimeoutExpired:
+        return False, f"probe hang (> {timeout_s}s)"
+
+
+def run_child(child_budget_s):
+    """Run the real bench as a killable subprocess; return its JSON line
+    (already printed) or None on failure."""
+    env = dict(os.environ)
+    env["LADE_BENCH_CHILD"] = "1"
+    env["LADE_BENCH_BUDGET_S"] = str(child_budget_s)
+    # hard kill well past the child's own budget gates
+    timeout = child_budget_s + 420
+    try:
+        p = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           stdout=subprocess.PIPE,
+                           text=True, timeout=timeout, env=env)
+    except subprocess.TimeoutExpired:
+        log(f"child exceeded hard timeout ({timeout:.0f}s); killed")
+        return None
+    line = None
+    for ln in (p.stdout or "").splitlines():
+        ln = ln.strip()
+        if ln.startswith("{"):
+            try:
+                json.loads(ln)
+                line = ln
+            except ValueError:
+                pass
+    if p.returncode != 0:
+        log(f"child exited rc={p.returncode}")
+    return line
+
+
+def main():
+    if os.environ.get("LADE_BENCH_CHILD") == "1":
+        return main_child()
+
+    attempts = 0
+    last_err = "no probe attempted"
+    while True:
+        elapsed = time.time() - T_START
+        if elapsed > BACKEND_WAIT_S or elapsed > BUDGET_S - 300:
+            return main_cpu_fallback(
+                f"backend unreachable after {elapsed:.0f}s "
+                f"({attempts} probes; last: {last_err})")
+        ok, info = probe_backend()
+        attempts += 1
+        if not ok:
+            last_err = info
+            log(f"backend probe {attempts} failed: {info}; retrying "
+                f"({elapsed:.0f}s / {BACKEND_WAIT_S:.0f}s wait budget)")
+            time.sleep(45)
+            continue
+        log(f"backend probe ok after {attempts} attempt(s): {info}")
+        child_budget = BUDGET_S - (time.time() - T_START) - 60
+        line = run_child(child_budget)
+        if line is not None:
+            print(line, flush=True)
+            return
+        log("child produced no result; re-probing backend and retrying once")
+        # one retry: re-enter the probe loop (bounded by the same budgets)
 
 
 if __name__ == "__main__":

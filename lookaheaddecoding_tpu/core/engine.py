@@ -176,10 +176,13 @@ class LookaheadEngine:
         fns = build_step_fns(self.mcfg, self.lcfg, self.ecfg, self.layout,
                              mesh=mesh)
         self._fns = fns
-        self._loop = jax.jit(fns.decode_loop, donate_argnums=(1,))
-        self._step = jax.jit(fns.decode_step, donate_argnums=(1,))
-        self._baseline = jax.jit(fns.baseline_loop, donate_argnums=(1,))
-        self._baseline_step = jax.jit(fns.baseline_step, donate_argnums=(1,))
+        # donate decode-state buffers across steps unless the user disables
+        # it (e.g. to inspect pre-step state while debugging buffer reuse)
+        self._don = (1,) if self.ecfg.donate_state else ()
+        self._loop = jax.jit(fns.decode_loop, donate_argnums=self._don)
+        self._step = jax.jit(fns.decode_step, donate_argnums=self._don)
+        self._baseline = jax.jit(fns.baseline_loop, donate_argnums=self._don)
+        self._baseline_step = jax.jit(fns.baseline_step, donate_argnums=self._don)
         self._sample_loops = {}   # top_k -> jitted sampling loop
         self._vfused = None       # batched fused generate (built lazily)
         # Fused dispatches: alloc + init + pool fill + prefill (+ decode
@@ -188,11 +191,11 @@ class LookaheadEngine:
         # 4-dispatch pipeline cost ~25% of a 256-token generate's wall
         # time, and per-request admission dominated serving throughput.
         self._fused_prepare = jax.jit(
-            self._make_fused(None), donate_argnums=(1,))
+            self._make_fused(None), donate_argnums=self._don)
         self._fused_greedy = jax.jit(
-            self._make_fused(fns.decode_loop), donate_argnums=(1,))
+            self._make_fused(fns.decode_loop), donate_argnums=self._don)
         self._fused_baseline = jax.jit(
-            self._make_fused(fns.baseline_loop), donate_argnums=(1,))
+            self._make_fused(fns.baseline_loop), donate_argnums=self._don)
 
     def _make_fused(self, loop_fn):
         """One traced call: state alloc/init/fill/prefill, then (when
@@ -321,7 +324,7 @@ class LookaheadEngine:
                                  top_k=sampling.top_k, use_top_p=use_top_p,
                                  mesh=self.mesh)
             loop = jax.jit(self._make_fused(fns.sample_loop),
-                           donate_argnums=(1,))
+                           donate_argnums=self._don)
             self._sample_loops[key] = loop
         state = self._run_fused(
             loop, prompt_ids, seed, max_new_tokens, _eos_vec(eos_token_id),
@@ -342,6 +345,8 @@ class LookaheadEngine:
         capability beyond it, and the stepping stone to continuous batching.
         """
         t0 = time.perf_counter()
+        if not prompts:
+            raise ValueError("generate_batch needs at least one prompt")
         args = [self._host_args(p, seed + i) for i, p in enumerate(prompts)]
         out_bufs = jnp.stack([a[0] for a in args])
         ps = jnp.stack([a[1] for a in args])
@@ -363,7 +368,7 @@ class LookaheadEngine:
                     self._fns.decode_loop, in_axes=(None, 0, None, None))(
                     params, states, max_new, eos)
 
-            self._vfused = jax.jit(bcall, donate_argnums=(1,))
+            self._vfused = jax.jit(bcall, donate_argnums=self._don)
         batched = self._vfused(self.params, out_bufs, ps, rngs, fills,
                                jnp.int32(max_new_tokens),
                                _eos_vec(eos_token_id))

@@ -118,6 +118,12 @@ class ContinuousBatchingEngine:
                 # validate EVERYTHING before touching lane state so a bad
                 # request fails alone instead of killing the scheduler
                 eos = np.asarray(_eos_vec(req.eos_token_id))
+                if self.sampling is None and (req.temperature is not None
+                                              or req.top_p is not None):
+                    raise ValueError(
+                        "request sets temperature/top_p but the engine was "
+                        "built without a SamplingConfig (greedy mode); "
+                        "pass sampling= to ContinuousBatchingEngine")
                 if self.sampling is not None:
                     temp = (self.sampling.temperature
                             if req.temperature is None else req.temperature)

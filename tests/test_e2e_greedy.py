@@ -140,3 +140,22 @@ def test_max_new_trims_overshoot():
     prompt = list(np.random.RandomState(3).randint(0, 128, size=10))
     r = eng.generate(prompt, 17)
     assert r.num_generated == 17
+
+
+def test_generate_batch_rejects_empty_prompt_list():
+    import pytest
+    eng = tiny_engine()
+    with pytest.raises(ValueError, match="at least one prompt"):
+        eng.generate_batch([], 8)
+
+
+def test_donate_state_disabled_still_generates():
+    """donate_state=False must thread through to the jits (no donation)
+    and produce identical output to the donating default."""
+    eng_d = tiny_engine(pool_from_prompt=True)
+    eng_n = tiny_engine(pool_from_prompt=True, donate_state=False)
+    assert eng_d._don == (1,) and eng_n._don == ()
+    prompt = [5, 9, 3, 7, 5, 9, 3, 7, 5, 9]
+    rd = eng_d.generate(prompt, 16)
+    rn = eng_n.generate(prompt, 16)
+    np.testing.assert_array_equal(rd.tokens, rn.tokens)

@@ -133,3 +133,23 @@ def test_continuous_batching_sampling_lanes_match_individual():
     by_id = {r.request_id: r for r in results}
     for i, s in enumerate(singles):
         np.testing.assert_array_equal(s.tokens, by_id[i].tokens)
+
+
+def test_greedy_engine_rejects_sampling_overrides():
+    """A greedy-mode scheduler (no SamplingConfig) must fail requests that
+    set temperature/top_p instead of silently running them greedy."""
+    eng = tiny_engine()
+    rng = np.random.RandomState(11)
+    good = list(rng.randint(0, 128, size=10))
+    server = ContinuousBatchingEngine(eng, num_lanes=2)
+    results = server.run([
+        Request(prompt=good, max_new_tokens=8, request_id="plain"),
+        Request(prompt=good, max_new_tokens=8, request_id="sampled",
+                temperature=0.7),
+        Request(prompt=good, max_new_tokens=8, request_id="topp",
+                top_p=0.9),
+    ])
+    by_id = {r.request_id: r for r in results}
+    assert by_id["plain"].error is None
+    assert by_id["sampled"].error and "SamplingConfig" in by_id["sampled"].error
+    assert by_id["topp"].error and "SamplingConfig" in by_id["topp"].error
