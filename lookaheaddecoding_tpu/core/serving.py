@@ -38,7 +38,8 @@ class Request:
 
 class ContinuousBatchingEngine:
     def __init__(self, engine: LookaheadEngine, num_lanes: int = 4,
-                 steps_per_sync: int = 4, sampling=None):
+                 steps_per_sync: int = 4, sampling=None,
+                 objective: str = "fairness", batch_group: int = 1):
         """``steps_per_sync`` decode steps run per scheduling round-trip —
         amortizes host dispatch latency at the cost of up to K-1 steps of
         admission delay for queued requests (finished lanes no-op).
@@ -47,10 +48,40 @@ class ContinuousBatchingEngine:
         rejection-sampling verification; temperature/top_p are then dynamic
         PER LANE (each Request may override them), while top_k and the
         top_p-enabled flag are compile-time from the config (same
-        specialization rule as LookaheadEngine.generate_sample)."""
+        specialization rule as LookaheadEngine.generate_sample).
+
+        ``objective`` picks the scheduling policy:
+
+        - ``"fairness"``: the lane scheduler above — every active request
+          advances each step (lowest time-to-first-token and tail latency).
+        - ``"throughput"``: drain the queue through fused SEQUENTIAL
+          generates, one request (or one ``batch_group``-sized greedy group
+          via ``generate_batch``) per scheduling step. On one chip each
+          lookahead lane is a full composite of MXU work — only weight
+          reads amortize across lanes — so sequential fused dispatches beat
+          lane-batching on aggregate tok/s (measured round 2: ~700 vs 479
+          tok/s on the 16-request set); lanes only win when concurrency
+          itself is the product requirement.
+        """
+        if objective not in ("fairness", "throughput"):
+            raise ValueError(f"unknown objective: {objective!r}")
+        if batch_group < 1:
+            raise ValueError("batch_group must be >= 1")
+        if batch_group > 1 and sampling is not None:
+            raise ValueError("batch_group > 1 supports greedy mode only "
+                             "(generate_batch has no sampling path)")
         self.engine = engine
         self.num_lanes = num_lanes
         self.sampling = sampling
+        self.objective = objective
+        self.batch_group = batch_group
+        if objective == "throughput":
+            # sequential fused generates: none of the lane machinery (or
+            # its vmapped compiles) is needed
+            self._queue = deque()
+            self._results = []
+            self._active = {}
+            return
         if sampling is None:
             fns = engine._fns
             vstep = jax.vmap(fns.decode_step, in_axes=(None, 0, 0, 0))
@@ -177,9 +208,84 @@ class ContinuousBatchingEngine:
             if self.engine.log is not None:
                 self.engine.log.append(res)
 
+    def _fail(self, req: Request, err: Exception) -> None:
+        res = GenerationResult(
+            tokens=np.asarray(req.prompt, np.int32),
+            prompt_len=len(req.prompt), steps=0)
+        res.request_id = req.request_id
+        res.error = str(err)
+        self._results.append(res)
+
+    def _step_sequential(self) -> bool:
+        """Throughput objective: run the next queued request (or greedy
+        ``batch_group``) to completion through the engine's fused
+        single-dispatch generate."""
+        if not self._queue:
+            return False
+        if self.batch_group > 1:
+            group = []
+            while self._queue and len(group) < self.batch_group:
+                group.append(self._queue.popleft())
+            try:
+                keys = {(r.max_new_tokens,
+                         tuple(np.ravel(_eos_vec(r.eos_token_id))))
+                        for r in group}
+            except ValueError:
+                keys = None   # a bad eos list: 1-by-1 so it fails alone
+            if keys is not None and len(group) > 1 and len(keys) == 1:
+                try:
+                    outs = self.engine.generate_batch(
+                        [r.prompt for r in group],
+                        group[0].max_new_tokens,
+                        eos_token_id=group[0].eos_token_id,
+                        seed=group[0].seed)
+                    for r, o in zip(group, outs):
+                        o.request_id = r.request_id
+                        self._results.append(o)
+                    return bool(self._queue)
+                except ValueError:
+                    pass     # fall through: run the group one by one so a
+                             # single bad request fails alone
+            # run 1-by-1: re-queue the tail, process the head this step
+            for r in reversed(group[1:]):
+                self._queue.appendleft(r)
+            req = group[0]
+        else:
+            req = self._queue.popleft()
+        try:
+            if self.sampling is None:
+                if req.temperature is not None or req.top_p is not None:
+                    raise ValueError(
+                        "request sets temperature/top_p but the engine was "
+                        "built without a SamplingConfig (greedy mode); "
+                        "pass sampling= to ContinuousBatchingEngine")
+                res = self.engine.generate(
+                    req.prompt, req.max_new_tokens,
+                    eos_token_id=req.eos_token_id, seed=req.seed)
+            else:
+                cfg = dataclasses.replace(
+                    self.sampling,
+                    temperature=(self.sampling.temperature
+                                 if req.temperature is None
+                                 else req.temperature),
+                    top_p=(self.sampling.top_p if req.top_p is None
+                           else req.top_p))
+                res = self.engine.generate_sample(
+                    req.prompt, req.max_new_tokens, cfg,
+                    eos_token_id=req.eos_token_id, seed=req.seed)
+        except ValueError as e:
+            self._fail(req, e)
+            return bool(self._queue)
+        res.request_id = req.request_id
+        self._results.append(res)
+        return bool(self._queue)
+
     def step(self) -> bool:
-        """Admit + one vmapped decode step + harvest. Returns True while any
-        lane is active or requests are queued."""
+        """Admit + one vmapped decode step + harvest (fairness objective),
+        or one fused sequential generate (throughput objective). Returns
+        True while any lane is active or requests are queued."""
+        if self.objective == "throughput":
+            return self._step_sequential()
         self._ensure_batched()
         self._admit()
         if not self._active:

@@ -165,6 +165,9 @@ def build_step_fns(
             start, mask, rope_cos, rope_sin, logits_rows=jnp.arange(0),
             attn_impl="pallas" if lcfg.attention_impl == "pallas" else "xla",
             attn_meta=attn_meta, pp=pp, mesh=pp_mesh,
+            # dynamic-NTK: every prefill chunk uses the FULL prompt length
+            # (HF prefills in one call whose rope table covers the prompt)
+            rope_seq_len=state.init_len,
         )
         return state._replace(
             k_cache=k_cache, v_cache=v_cache,
@@ -250,6 +253,10 @@ def build_step_fns(
                 attn_meta=attn_meta,
                 shard_tokens=shard_tokens,
                 pp=pp, mesh=pp_mesh,
+                # dynamic-NTK: per-row keying (base(p+1) for the row at
+                # position p) — exactly what HF incremental AR decode
+                # produces, so lookahead stays token-exact vs the baseline
+                rope_seq_len=positions + 1,
             )
 
             new_results = jnp.argmax(logits[INP_ROWS], axis=-1).astype(jnp.int32)
@@ -459,6 +466,7 @@ def build_step_fns(
             params, mcfg, lst[None], kv_len[None] + 0, s.k_cache,
             s.v_cache, kv_len, mask, rope_cos, rope_sin,
             pp=pp, mesh=pp_mesh,
+            rope_seq_len=kv_len[None] + 1,   # per-row dynamic-NTK keying
         )
         nxt = jnp.argmax(logits[0]).astype(jnp.int32)
         out_buf = jax.lax.dynamic_update_slice(

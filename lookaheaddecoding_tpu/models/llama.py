@@ -227,8 +227,56 @@ def rope_inv_freq(cfg: LlamaConfig, seq_len: Optional[int] = None) -> np.ndarray
     return inv.astype(np.float32)
 
 
+def rope_rows_dynamic(cfg: LlamaConfig, positions: jax.Array,
+                      seq_len=None) -> Tuple[jax.Array, jax.Array]:
+    """Dynamic-NTK cos/sin rows computed IN-GRAPH from the live context
+    length, matching HF *runtime* semantics: the base is rescaled only once
+    the context outgrows ``max_position_embeddings``, so short contexts use
+    the unscaled base (reference modeling_llama.py:288-311). Modern HF keys
+    the recompute on ``max(position_ids) + 1``, which this follows; the
+    clamp to ``max_position_embeddings`` makes the scale factor exactly 1
+    (base unscaled) below the threshold.
+
+    ``seq_len`` selects the keying mode (all are HF semantics — HF's own
+    table depends on its call pattern):
+
+    - ``None`` (default): one-call keying, ``max(positions) + 1`` — what a
+      full forward over the whole sequence produces in HF.
+    - scalar: explicit context length — chunked prefill passes the full
+      prompt length, because HF prefills in one call whose table covers the
+      whole prompt; K written to the cache keeps the rotation current at
+      write time, exactly like HF's grown-cache reuse.
+    - ``[T]`` vector (``positions + 1``): per-row keying — what HF's
+      *incremental* decode produces, where the token at position p is
+      processed at step p with a table grown to p+1 and its K is never
+      re-rotated. Position-determined, so the lookahead composite can
+      reproduce the AR baseline token-exactly; the decode step uses this.
+
+    positions: [T] int32. Returns ([T, head_dim], [T, head_dim]) fp32."""
+    d = cfg.head_dim
+    factor = cfg.rope_scaling[1]
+    mp = float(cfg.max_position_embeddings)
+    if seq_len is None:
+        seq_len = jnp.max(positions) + 1
+    t = jnp.maximum(
+        jnp.broadcast_to(jnp.asarray(seq_len, jnp.float32), positions.shape),
+        mp)                                                       # [T]
+    base = cfg.rope_theta * (
+        (factor * t / mp) - (factor - 1.0)) ** (d / (d - 2.0))    # [T]
+    exp = jnp.arange(0, d, 2, dtype=jnp.float32) / d              # [d/2]
+    inv = base[:, None] ** -exp[None, :]                          # [T, d/2]
+    freqs = positions.astype(jnp.float32)[:, None] * inv
+    emb = jnp.concatenate([freqs, freqs], axis=-1)                # [T, d]
+    return jnp.cos(emb), jnp.sin(emb)
+
+
 def rope_tables(cfg: LlamaConfig, max_len: int) -> Tuple[jax.Array, jax.Array]:
-    """Precomputed [max_len, head_dim] fp32 cos/sin tables."""
+    """Precomputed [max_len, head_dim] fp32 cos/sin tables. For
+    ``("dynamic", f)`` configs these tables are NOT used at runtime —
+    ``forward`` computes rows in-graph via :func:`rope_rows_dynamic` so the
+    base tracks the live context length like HF does (a table baked at
+    ``max_len`` would wrongly scale *short* contexts whenever
+    ``max_len > max_position_embeddings``)."""
     inv = rope_inv_freq(cfg, seq_len=max_len)
     t = np.arange(max_len, dtype=np.float32)
     if cfg.rope_scaling is not None and cfg.rope_scaling[0] == "linear":
@@ -374,6 +422,7 @@ def forward(
     shard_tokens=None,   # callable x->x: sharding constraint on the token axis
     pp: int = 1,         # pipeline stages (layer-stage sharding over "pp")
     mesh=None,           # required when pp > 1
+    rope_seq_len=None,   # traced live-context length for dynamic-NTK RoPE
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """One forward over the layer stack. Tokens are written into the cache at
     slots [write_start, write_start+T) in every layer; attention then reads
@@ -403,8 +452,14 @@ def forward(
         # partitions the per-token matmuls and inserts the ICI collectives
         # the reference performs by hand (:1043-1107).
         x = shard_tokens(x)
-    cos = jnp.take(rope_cos, positions, axis=0)            # [T, D]
-    sin = jnp.take(rope_sin, positions, axis=0)
+    if cfg.rope_scaling is not None and cfg.rope_scaling[0] == "dynamic":
+        # dynamic NTK: the base depends on the LIVE context length, so the
+        # rows are computed in-graph (cheap: [T, d] transcendentals) instead
+        # of gathered from a table baked at engine capacity
+        cos, sin = rope_rows_dynamic(cfg, positions, rope_seq_len)
+    else:
+        cos = jnp.take(rope_cos, positions, axis=0)        # [T, D]
+        sin = jnp.take(rope_sin, positions, axis=0)
 
     lp = params["layers"]
     act = act_fn(cfg)

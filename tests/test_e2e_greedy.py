@@ -159,3 +159,24 @@ def test_donate_state_disabled_still_generates():
     rd = eng_d.generate(prompt, 16)
     rn = eng_n.generate(prompt, 16)
     np.testing.assert_array_equal(rd.tokens, rn.tokens)
+
+
+def test_dynamic_ntk_engine_end_to_end():
+    """Engine with dynamic-NTK scaling and capacity > max_position_embeddings:
+    the decode loop computes rope rows in-graph (prefill keyed on the full
+    prompt length) and lookahead stays token-exact vs AR."""
+    mcfg = lt.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=32, rope_scaling=("dynamic", 2.0),
+        dtype=jnp.float32)
+    params = lt.init_params(mcfg, jax.random.PRNGKey(4), scale=0.5)
+    eng = lt.LookaheadEngine(
+        mcfg, params,
+        lt.LookaheadConfig(level=4, window_size=5, guess_set_size=4,
+                           pool_from_prompt=True),
+        lt.EngineConfig(max_seq_len=128, prefill_chunk=16, dtype="float32"))
+    prompt = list(np.random.RandomState(6).randint(0, 128, size=40))
+    r = eng.generate(prompt, 48)      # crosses the max_pos=32 threshold
+    rb = eng.generate_baseline(prompt, 48)
+    np.testing.assert_array_equal(r.tokens, rb.tokens)

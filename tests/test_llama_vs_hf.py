@@ -18,11 +18,11 @@ NEG = float("-inf")
 
 
 def make_hf(vocab=96, hidden=64, layers=2, heads=4, kv_heads=2, inter=112,
-            rope_scaling=None, tie=False):
+            rope_scaling=None, tie=False, max_pos=256):
     cfg = transformers.LlamaConfig(
         vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
         num_hidden_layers=layers, num_attention_heads=heads,
-        num_key_value_heads=kv_heads, max_position_embeddings=256,
+        num_key_value_heads=kv_heads, max_position_embeddings=max_pos,
         rope_scaling=rope_scaling, tie_word_embeddings=tie,
         attn_implementation="eager",
     )
@@ -86,3 +86,44 @@ def test_incremental_kv_decode_matches_full_forward():
             mask, cos, sin)
         last.append(np.asarray(logits[0]))
     np.testing.assert_allclose(np.stack(last), full, atol=2e-4, rtol=2e-3)
+
+
+@pytest.mark.parametrize("n_tokens", [11, 48])
+def test_dynamic_rope_scaling_matches_hf(n_tokens):
+    """Dynamic-NTK runtime semantics (reference modeling_llama.py:288-311):
+    the base rescales only once the live context outgrows
+    max_position_embeddings. With max_pos=32 and engine capacity 128, a
+    short prompt (11) must use the UNSCALED base even though capacity
+    exceeds max_pos (the round-2 bug baked the scaled base into the whole
+    table); a long prompt (48) must use the base recomputed at seq_len=48,
+    matching HF's grown-cache behavior."""
+    hf = make_hf(rope_scaling={"rope_type": "dynamic", "factor": 4.0},
+                 max_pos=32)
+    mcfg, params = lt.convert_hf_model(hf, dtype=jnp.float32)
+    assert mcfg.rope_scaling == ("dynamic", 4.0)
+    tokens = np.random.RandomState(3).randint(0, 96, size=n_tokens)
+    with torch.no_grad():
+        ref = hf(torch.tensor(tokens)[None]).logits[0].numpy()
+    mine, *_ = jax_logits(mcfg, params, tokens)
+    np.testing.assert_allclose(mine, ref, atol=2e-4, rtol=2e-3)
+
+
+def test_dynamic_rope_unscaled_below_threshold():
+    """Below max_position_embeddings the dynamic rows must equal the plain
+    unscaled rows bit-for-bit in structure (base untouched)."""
+    mcfg = lt.LlamaConfig(vocab_size=96, hidden_size=64,
+                          intermediate_size=112, num_hidden_layers=2,
+                          num_attention_heads=4, num_key_value_heads=2,
+                          max_position_embeddings=32,
+                          rope_scaling=("dynamic", 4.0), dtype=jnp.float32)
+    plain = lt.LlamaConfig(vocab_size=96, hidden_size=64,
+                           intermediate_size=112, num_hidden_layers=2,
+                           num_attention_heads=4, num_key_value_heads=2,
+                           max_position_embeddings=32, dtype=jnp.float32)
+    pos = jnp.arange(16, dtype=jnp.int32)
+    cos_d, sin_d = llama.rope_rows_dynamic(mcfg, pos)
+    cos_p, sin_p = llama.rope_tables(plain, 16)
+    np.testing.assert_allclose(np.asarray(cos_d), np.asarray(cos_p),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sin_d), np.asarray(sin_p),
+                               atol=1e-6)

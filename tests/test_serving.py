@@ -153,3 +153,84 @@ def test_greedy_engine_rejects_sampling_overrides():
     assert by_id["plain"].error is None
     assert by_id["sampled"].error and "SamplingConfig" in by_id["sampled"].error
     assert by_id["topp"].error and "SamplingConfig" in by_id["topp"].error
+
+
+def test_throughput_objective_matches_individual():
+    """objective="throughput" (sequential fused generates) must produce
+    token-identical results to individual engine.generate calls."""
+    eng = tiny_engine()
+    rng = np.random.RandomState(7)
+    prompts = [list(rng.randint(0, 128, size=n)) for n in (10, 13, 9)]
+    max_news = [20, 12, 16]
+    singles = [eng.generate(p, m, seed=i)
+               for i, (p, m) in enumerate(zip(prompts, max_news))]
+    server = ContinuousBatchingEngine(eng, objective="throughput")
+    results = server.run([
+        Request(prompt=p, max_new_tokens=m, seed=i, request_id=i)
+        for i, (p, m) in enumerate(zip(prompts, max_news))])
+    assert len(results) == 3
+    by_id = {r.request_id: r for r in results}
+    for i, s in enumerate(singles):
+        np.testing.assert_array_equal(by_id[i].tokens, s.tokens)
+
+
+def test_throughput_batch_group_matches_individual():
+    """batch_group=2 routes same-shaped greedy requests through
+    generate_batch; outputs must still match individual generates."""
+    eng = tiny_engine()
+    rng = np.random.RandomState(8)
+    prompts = [list(rng.randint(0, 128, size=n)) for n in (10, 12, 9, 11)]
+    singles = [eng.generate(p, 14) for p in prompts]
+    server = ContinuousBatchingEngine(eng, objective="throughput",
+                                      batch_group=2)
+    results = server.run([
+        Request(prompt=p, max_new_tokens=14, request_id=i)
+        for i, p in enumerate(prompts)])
+    by_id = {r.request_id: r for r in results}
+    for i, s in enumerate(singles):
+        np.testing.assert_array_equal(by_id[i].tokens, s.tokens)
+
+
+def test_throughput_bad_request_fails_alone():
+    eng = tiny_engine()
+    rng = np.random.RandomState(9)
+    good = list(rng.randint(0, 128, size=10))
+    oversized = list(rng.randint(0, 128, size=300))   # > max_seq_len=256
+    server = ContinuousBatchingEngine(eng, objective="throughput",
+                                      batch_group=2)
+    results = server.run([
+        Request(prompt=good, max_new_tokens=10, request_id="ok"),
+        Request(prompt=oversized, max_new_tokens=10, request_id="bad"),
+        Request(prompt=good, max_new_tokens=6, request_id="ok2"),
+    ])
+    by_id = {r.request_id: r for r in results}
+    assert by_id["bad"].error and "exceeds" in by_id["bad"].error
+    assert by_id["ok"].error is None and by_id["ok"].num_generated == 10
+    assert by_id["ok2"].num_generated == 6
+
+
+def test_throughput_sampling_matches_individual():
+    sampling = lt.SamplingConfig(temperature=0.9, top_p=0.95)
+    eng = tiny_engine()
+    rng = np.random.RandomState(10)
+    prompts = [list(rng.randint(0, 128, size=n)) for n in (10, 12)]
+    singles = [eng.generate_sample(p, 12, sampling, seed=i + 1)
+               for i, p in enumerate(prompts)]
+    server = ContinuousBatchingEngine(eng, objective="throughput",
+                                      sampling=sampling)
+    results = server.run([
+        Request(prompt=p, max_new_tokens=12, seed=i + 1, request_id=i)
+        for i, p in enumerate(prompts)])
+    by_id = {r.request_id: r for r in results}
+    for i, s in enumerate(singles):
+        np.testing.assert_array_equal(by_id[i].tokens, s.tokens)
+
+
+def test_objective_validation():
+    import pytest
+    eng = tiny_engine()
+    with pytest.raises(ValueError, match="objective"):
+        ContinuousBatchingEngine(eng, objective="latency")
+    with pytest.raises(ValueError, match="greedy"):
+        ContinuousBatchingEngine(eng, objective="throughput", batch_group=2,
+                                 sampling=lt.SamplingConfig(temperature=1.0))
