@@ -127,7 +127,8 @@ def _head_q(q_ref, g):
 
 def _kernel_single(kv_len_ref, q_ref, k_ref, v_ref, *rest,
                    level, window, guess_size, s_len, block_k, n_heads, rep,
-                   scale, quantized, causal, sliding_window, has_spec):
+                   scale, quantized, causal, sliding_window, has_spec,
+                   interpret=False):
     """Whole cache in ONE KV block: direct softmax, no scratch state."""
     if has_spec:
         spec_ref, *rest = rest
@@ -148,7 +149,11 @@ def _kernel_single(kv_len_ref, q_ref, k_ref, v_ref, *rest,
         # would otherwise be recomputed per LAYER (the XLA path computes its
         # dense mask once per step). The rep (GQA) axis is applied by a free
         # leading-dim split of the score tile.
-        sm2 = pltpu.roll(spec_ref[...], kv_len, axis=1)     # [S_pad, BK]
+        # interpret mode (CPU CI) lacks the Mosaic roll primitive; jnp.roll
+        # is semantically identical so the mask-placement arithmetic is
+        # exercised by the same code path on both backends
+        roll = jnp.roll if interpret else pltpu.roll
+        sm2 = roll(spec_ref[...], kv_len, axis=1)           # [S_pad, BK]
         col2 = jax.lax.broadcasted_iota(jnp.int32, sm2.shape, 1)
         visible = ((col2 < kv_len) | (sm2 != 0))[:, None, :]
     else:
@@ -343,12 +348,13 @@ def lookahead_attention(
                   scale=scale, quantized=quantized, causal=causal,
                   sliding_window=sliding_window)
     # rolled-operand mask path: single block, composite mode, no window
-    # bound, compiled (interpret mode lacks the roll primitive)
+    # bound (interpret mode emulates the Mosaic roll with jnp.roll so CPU
+    # CI exercises the same mask-placement arithmetic)
     has_spec = (n_blocks == 1 and spec_mask is not None and not causal
-                and not sliding_window and not interpret)
+                and not sliding_window)
     if n_blocks == 1:
         kernel = functools.partial(_kernel_single, has_spec=has_spec,
-                                   **common)
+                                   interpret=interpret, **common)
         scratch_shapes = []
     else:
         kernel = functools.partial(_kernel, n_blocks=n_blocks, **common)

@@ -193,12 +193,13 @@ def test_e2e_pallas_engine_token_exact_and_compressing():
     assert lade_p.compression_ratio > 1.5
 
 
-@pytest.mark.skipif(jax.default_backend() == "cpu",
-                    reason="rolled-mask path needs compiled Mosaic (pltpu.roll)")
 @pytest.mark.parametrize("kv_len", [0, 1, 37, 200])
 def test_rolled_spec_mask_matches_iota_path(kv_len):
     """The spec-mask-operand fast path (single KV block, dynamic lane roll)
-    must equal the iota-derived mask path bit-for-bit on real hardware."""
+    must equal the iota-derived mask path bit-for-bit. On CPU the roll runs
+    through the jnp.roll interpret emulation, so the mask-placement
+    arithmetic is CI-covered; on TPU it exercises the real Mosaic roll."""
+    interp = jax.default_backend() == "cpu"
     lcfg = LookaheadConfig(level=4, window_size=5, guess_set_size=4)
     lay = build_layout(lcfg)
     s = lay.seq_len
@@ -209,8 +210,9 @@ def test_rolled_spec_mask_matches_iota_path(kv_len):
     k = jax.random.normal(kk, (hkv, m, d), jnp.float32)
     v = jax.random.normal(kv, (hkv, m, d), jnp.float32)
     base = lookahead_attention(
-        q, k, v, jnp.int32(kv_len), level=4, window=5, guess_size=3)
+        q, k, v, jnp.int32(kv_len), level=4, window=5, guess_size=3,
+        interpret=interp)
     rolled = lookahead_attention(
         q, k, v, jnp.int32(kv_len), level=4, window=5, guess_size=3,
-        spec_mask=jnp.asarray(lay.spec_mask))
+        spec_mask=jnp.asarray(lay.spec_mask), interpret=interp)
     np.testing.assert_array_equal(np.asarray(base), np.asarray(rolled))
