@@ -5,17 +5,32 @@ pins jax_platforms to it; tests must run locally and exercise multi-device
 sharding, so we override the platform and force 8 host devices BEFORE any
 backend is initialized. This is the TPU-native answer to "test distributed
 without a cluster" (SURVEY.md §4).
+
+Set LADE_TEST_TPU=1 to run the suite against the REAL chip instead (used
+by scripts/tpu_campaign_r3.sh to record per-round hardware evidence for
+the compiled-Mosaic paths that interpret mode can only emulate). Sharding
+tests that need 8 devices self-skip when only one chip is present.
 """
 
 import os
 import sys
 
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-)
+if os.environ.get("LADE_TEST_TPU") == "1":
+    import jax  # noqa: E402  (leave the axon platform pin in place)
 
-import jax  # noqa: E402
+    # remote-TPU compiles are minutes cold / seconds warm: share bench.py's
+    # persistent cache so hardware test runs fit a sane budget
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_lade"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+else:
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    )
 
-jax.config.update("jax_platforms", "cpu")
+    import jax  # noqa: E402
+
+    jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
