@@ -58,7 +58,7 @@ Output: ONE JSON line on stdout:
    "vs_baseline": value / 1.68 (the reference's headline TinyLlama speedup)}
 """
 
-import functools
+
 import json
 import os
 import subprocess
@@ -69,6 +69,10 @@ import numpy as np
 
 T_START = time.time()
 BUDGET_S = float(os.environ.get("LADE_BENCH_BUDGET_S", "2100"))
+# SMOKE mode: shrink every architecture so the FULL child control flow
+# (headline, realistic, quant variants, 7B/3B orderings, JSON assembly)
+# runs on CPU in minutes — protects real chip time from child-only bugs.
+SMOKE = os.environ.get("LADE_BENCH_SMOKE") == "1"
 BACKEND_WAIT_S = float(os.environ.get("LADE_BENCH_BACKEND_WAIT_S", "1500"))
 REPS = int(os.environ.get("LADE_BENCH_REPS", "3"))
 REFERENCE_SPEEDUP = 1.68   # reference minimal.py:54-55 (44 -> 74 tok/s)
@@ -267,13 +271,20 @@ def emit(value, detail):
 
 def main_child():
     import jax
+    if SMOKE:
+        # smoke runs exercise the child's control flow on the CPU backend
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/jax_lade"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     import lookaheaddecoding_tpu as lt
 
     log("devices:", jax.devices())
-    mcfg, params, nxt = build_predictable_tinyllama()
+    if SMOKE:
+        log("SMOKE mode: shrunken architectures, CPU-feasible")
+    arch_headline = dict(hidden=256, inter=704, layers=4, heads=8,
+                         kv_heads=2) if SMOKE else {}
+    mcfg, params, nxt = build_predictable_tinyllama(**arch_headline)
 
     lcfg = lt.LookaheadConfig(level=7, window_size=20, guess_set_size=20,
                               pool_from_prompt=True)
@@ -282,7 +293,7 @@ def main_child():
     log(f"attention_impl resolved: {eng.lcfg.attention_impl}")
 
     prompt = make_prompt(nxt)
-    N_NEW = 256
+    N_NEW = 64 if SMOKE else 256
 
     # ---------------- headline -----------------------------------------
     headline, r, rb = run_pair(eng, prompt, N_NEW, "headline bf16")
@@ -321,7 +332,8 @@ def main_child():
         try:
             _, noisy_params, nxt2 = build_predictable_model(
                 seed=1, layer_scale=float(
-                    os.environ.get("LADE_BENCH_NOISY_SCALE", "0.036")))
+                    os.environ.get("LADE_BENCH_NOISY_SCALE", "0.036")),
+                **arch_headline)
             p2 = make_prompt(nxt2)
             rc = {"noisy_scale": float(
                 os.environ.get("LADE_BENCH_NOISY_SCALE", "0.036"))}
@@ -427,18 +439,22 @@ def main_child():
                 out[nm] = {"error": str(ex)[:200]}
         variants[name] = out
 
+    arch_7b = dict(hidden=4096, inter=11008, layers=32, heads=32,
+                   kv_heads=32) if not SMOKE else dict(
+                       hidden=320, inter=896, layers=4, heads=8, kv_heads=8)
     if budget_left() > 500:
-        quant_ordering("quant_ordering_7b", hidden=4096, inter=11008,
-                       layers=32, heads=32, kv_heads=32, seed=3,
-                       per_engine_floor=250)
+        quant_ordering("quant_ordering_7b", seed=3, per_engine_floor=250,
+                       **arch_7b)
     else:
         variants["quant_ordering_7b"] = "skipped (budget)"
 
     # ---------------- 3B-arch ordering (evidence continuity with r2) ----
+    arch_3b = dict(hidden=3072, inter=11264, layers=24, heads=24,
+                   kv_heads=8) if not SMOKE else dict(
+                       hidden=256, inter=704, layers=4, heads=8, kv_heads=4)
     if budget_left() > 500:
-        quant_ordering("quant_ordering_3b", hidden=3072, inter=11264,
-                       layers=24, heads=24, kv_heads=8, seed=2,
-                       per_engine_floor=250)
+        quant_ordering("quant_ordering_3b", seed=2, per_engine_floor=250,
+                       **arch_3b)
     else:
         variants["quant_ordering_3b"] = "skipped (budget)"
 
@@ -536,30 +552,40 @@ def main():
     if os.environ.get("LADE_BENCH_CHILD") == "1":
         return main_child()
 
-    attempts = 0
+    probes = 0
+    child_attempts = 0
     last_err = "no probe attempted"
     while True:
         elapsed = time.time() - T_START
-        if elapsed > BACKEND_WAIT_S or elapsed > BUDGET_S - 300:
+        if child_attempts >= 2:
+            # the backend WAS reachable — don't mislabel this as an outage
             return main_cpu_fallback(
-                f"backend unreachable after {elapsed:.0f}s "
-                f"({attempts} probes; last: {last_err})")
+                f"bench child failed {child_attempts} times with the "
+                f"backend reachable ({elapsed:.0f}s elapsed)")
+        if elapsed > BUDGET_S - 300 or (
+                elapsed > BACKEND_WAIT_S and child_attempts == 0):
+            what = ("bench child failed and budget exhausted"
+                    if child_attempts else "backend unreachable")
+            return main_cpu_fallback(
+                f"{what} after {elapsed:.0f}s ({probes} probes, "
+                f"{child_attempts} child attempts; last probe: {last_err})")
         ok, info = probe_backend()
-        attempts += 1
+        probes += 1
         if not ok:
             last_err = info
-            log(f"backend probe {attempts} failed: {info}; retrying "
+            log(f"backend probe {probes} failed: {info}; retrying "
                 f"({elapsed:.0f}s / {BACKEND_WAIT_S:.0f}s wait budget)")
             time.sleep(45)
             continue
-        log(f"backend probe ok after {attempts} attempt(s): {info}")
+        log(f"backend probe ok after {probes} attempt(s): {info}")
         child_budget = BUDGET_S - (time.time() - T_START) - 60
         line = run_child(child_budget)
         if line is not None:
             print(line, flush=True)
             return
-        log("child produced no result; re-probing backend and retrying once")
-        # one retry: re-enter the probe loop (bounded by the same budgets)
+        child_attempts += 1
+        log(f"child attempt {child_attempts} produced no result; "
+            "re-probing backend and retrying (max 2 attempts)")
 
 
 if __name__ == "__main__":

@@ -337,17 +337,25 @@ class LookaheadEngine:
         max_new_tokens: int,
         eos_token_id=None,
         seed: int = 0,
+        seeds: Optional[Sequence[int]] = None,
     ) -> list:
         """Batched greedy lookahead decoding: every request runs the full
         per-sequence lookahead machinery (own window, pool, KV cache) under
         one vmapped ``lax.while_loop``; lanes no-op once finished. The
         reference asserts batch==1 (modeling_llama.py:1448) — this is a
         capability beyond it, and the stepping stone to continuous batching.
+
+        ``seeds`` gives every prompt its exact per-request seed (matching a
+        standalone ``generate(p, n, seed=seeds[i])``); default ``seed + i``.
         """
         t0 = time.perf_counter()
         if not prompts:
             raise ValueError("generate_batch needs at least one prompt")
-        args = [self._host_args(p, seed + i) for i, p in enumerate(prompts)]
+        if seeds is not None and len(seeds) != len(prompts):
+            raise ValueError("seeds must match prompts in length")
+        if seeds is None:
+            seeds = [seed + i for i in range(len(prompts))]
+        args = [self._host_args(p, s) for p, s in zip(prompts, seeds)]
         out_bufs = jnp.stack([a[0] for a in args])
         ps = jnp.stack([a[1] for a in args])
         rngs = jnp.stack([a[2] for a in args])

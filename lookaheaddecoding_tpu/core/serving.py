@@ -168,12 +168,7 @@ class ContinuousBatchingEngine:
                 # bad request (empty / over-capacity prompt, bad eos list,
                 # bad sampling params): fail it without taking down the
                 # scheduler or its lanes
-                res = GenerationResult(
-                    tokens=np.asarray(req.prompt, np.int32),
-                    prompt_len=len(req.prompt), steps=0)
-                res.request_id = req.request_id
-                res.error = str(e)
-                self._results.append(res)
+                self._fail(req, e)
                 continue
             self._t0[lane] = time.perf_counter()
             self._batched = self._insert(self._batched, state, lane)
@@ -232,13 +227,19 @@ class ContinuousBatchingEngine:
                         for r in group}
             except ValueError:
                 keys = None   # a bad eos list: 1-by-1 so it fails alone
-            if keys is not None and len(group) > 1 and len(keys) == 1:
+            # requests with sampling overrides never group: in greedy mode
+            # they must FAIL (generate_batch would silently run greedy —
+            # the bug the override rejection exists to prevent)
+            no_overrides = all(r.temperature is None and r.top_p is None
+                               for r in group)
+            if (keys is not None and len(group) > 1 and len(keys) == 1
+                    and no_overrides):
                 try:
                     outs = self.engine.generate_batch(
                         [r.prompt for r in group],
                         group[0].max_new_tokens,
                         eos_token_id=group[0].eos_token_id,
-                        seed=group[0].seed)
+                        seeds=[r.seed for r in group])
                     for r, o in zip(group, outs):
                         o.request_id = r.request_id
                         self._results.append(o)

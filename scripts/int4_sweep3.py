@@ -44,8 +44,8 @@ lcfg = lt.LookaheadConfig(level=7, window_size=20, guess_set_size=20,
 eng = lt.LookaheadEngine(mcfg, qp, lcfg,
                          lt.EngineConfig(max_seq_len=1024, prefill_chunk=128))
 prompt = bench.make_prompt(nxt)
-ar_tps, _ = bench.time_generate(eng, prompt, 256, baseline=True, reps=3)
-lade_tps, r = bench.time_generate(eng, prompt, 256, reps=3)
+ar_tps, _, _ = bench.time_generate(eng, prompt, 256, baseline=True, reps=3)
+lade_tps, _, r = bench.time_generate(eng, prompt, 256, reps=3)
 print("RESULT " + json.dumps({"ar_tps": round(ar_tps, 1),
                               "lade_tps": round(lade_tps, 1),
                               "ratio": round(r.compression_ratio, 2)}),

@@ -49,8 +49,9 @@ def step_cost(arch, s_rows, kv_live, wbits=16, lm_bits=None, kv_bytes=KV_BYTES):
     kvb = (2 * arch["layers"] * arch["kv_heads"] * arch["head_dim"]
            * kv_live * kv_bytes)
     flops = 2 * (proj + arch["lm_head"]) * s_rows
-    # attention dots: 2 * (QK^T + PV) over live context for every q head
-    flops += 4 * s_rows * kv_live * arch["hidden"] * 2
+    # attention dots: QK^T + PV over the live context, 2 FLOPs/MAC, summed
+    # over all q heads (heads * head_dim = hidden)
+    flops += 4 * s_rows * kv_live * arch["hidden"]
     return wbytes + kvb, flops
 
 

@@ -37,7 +37,7 @@ def main():
             seed=3, bits=4 if nm == "int4" else 8, hidden=4096, inter=11008,
             layers=32, heads=32, kv_heads=32)
         print(f"[{nm}] weights built+quantized on device "
-              f"({time.time()-t0:.0f}s)", flush=True)
+              f"({time.time()-t0:.0f}s)", file=sys.stderr, flush=True)
         p = bench.make_prompt(nxt)
         e = lt.LookaheadEngine(mcfg, qp, lcfg,
                                lt.EngineConfig(max_seq_len=1024,
@@ -46,7 +46,8 @@ def main():
         gc.collect()
         res, _, _ = bench.run_pair(e, p, 256, f"7b_{nm}")
         out[nm] = res
-        print(f"[{nm}] done ({time.time()-t0:.0f}s)", flush=True)
+        print(f"[{nm}] done ({time.time()-t0:.0f}s)", file=sys.stderr,
+              flush=True)
         del e
         gc.collect()
     print(json.dumps(out))

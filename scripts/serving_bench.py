@@ -96,10 +96,12 @@ def main():
     reqs_t = [Request(p, args.new, request_id=i, seed=i)
               for i, p in enumerate(prompts)]
     if args.batch_group > 1:
+        # warm with a FULL batch_group so the vmapped loop at the real
+        # group width compiles outside the timed region
         log("compiling batch-group path...")
         t0 = time.time()
-        thr.run([Request(prompts[0], 8, request_id="w1"),
-                 Request(prompts[1], 8, request_id="w2")][:args.batch_group])
+        thr.run([Request(prompts[i % len(prompts)], 8, request_id=f"w{i}")
+                 for i in range(args.batch_group)])
         log(f"  compile+warm: {time.time()-t0:.1f}s")
     t0 = time.time()
     results_t = thr.run(reqs_t)

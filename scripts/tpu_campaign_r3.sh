@@ -14,10 +14,11 @@ exec >>"$LOG" 2>&1
 echo "=== campaign start $(date -u +%FT%TZ) ==="
 
 run() {  # run <name> <timeout-s> <cmd...>
+  # markers go to STDERR: several steps redirect stdout into JSON artifacts
   local name=$1 to=$2; shift 2
-  echo "--- [$name] start $(date -u +%FT%TZ)"
+  echo "--- [$name] start $(date -u +%FT%TZ)" >&2
   timeout "$to" "$@"
-  echo "--- [$name] rc=$? $(date -u +%FT%TZ)"
+  echo "--- [$name] rc=$? $(date -u +%FT%TZ)" >&2
 }
 
 # 1. TPU test pass for the headline kernel paths (rolled mask included:

@@ -6,10 +6,12 @@ sharding, so we override the platform and force 8 host devices BEFORE any
 backend is initialized. This is the TPU-native answer to "test distributed
 without a cluster" (SURVEY.md §4).
 
-Set LADE_TEST_TPU=1 to run the suite against the REAL chip instead (used
-by scripts/tpu_campaign_r3.sh to record per-round hardware evidence for
-the compiled-Mosaic paths that interpret mode can only emulate). Sharding
-tests that need 8 devices self-skip when only one chip is present.
+Set LADE_TEST_TPU=1 to run tests against the REAL chip instead (used by
+scripts/tpu_campaign_r3.sh to record per-round hardware evidence for the
+compiled-Mosaic paths that interpret mode can only emulate). NOTE: run
+single-chip-suitable files only (the campaign picks
+test_lookahead_attention.py and test_e2e_greedy.py) — the sharding tests
+require 8 devices and do not self-skip.
 """
 
 import os

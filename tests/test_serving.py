@@ -234,3 +234,42 @@ def test_objective_validation():
     with pytest.raises(ValueError, match="greedy"):
         ContinuousBatchingEngine(eng, objective="throughput", batch_group=2,
                                  sampling=lt.SamplingConfig(temperature=1.0))
+
+
+def test_batch_group_rejects_sampling_overrides_in_greedy_mode():
+    """A sampling override must fail in greedy mode even when the request
+    would otherwise be grouped through generate_batch (which has no
+    sampling path and would silently run greedy)."""
+    eng = tiny_engine()
+    rng = np.random.RandomState(12)
+    good = list(rng.randint(0, 128, size=10))
+    server = ContinuousBatchingEngine(eng, objective="throughput",
+                                      batch_group=2)
+    results = server.run([
+        Request(prompt=good, max_new_tokens=8, request_id="a",
+                temperature=0.7),
+        Request(prompt=good, max_new_tokens=8, request_id="b"),
+    ])
+    by_id = {r.request_id: r for r in results}
+    assert by_id["a"].error and "SamplingConfig" in by_id["a"].error
+    assert by_id["b"].error is None and by_id["b"].num_generated == 8
+
+
+def test_batch_group_honors_per_request_seeds():
+    """Grouped requests must produce the same steps/compression metrics as
+    standalone generates with their own seeds (seeds thread through
+    generate_batch)."""
+    eng = tiny_engine()
+    rng = np.random.RandomState(13)
+    prompts = [list(rng.randint(0, 128, size=11)) for _ in range(2)]
+    seeds = [100, 7]
+    singles = [eng.generate(p, 14, seed=s) for p, s in zip(prompts, seeds)]
+    server = ContinuousBatchingEngine(eng, objective="throughput",
+                                      batch_group=2)
+    results = server.run([
+        Request(prompt=p, max_new_tokens=14, seed=s, request_id=i)
+        for i, (p, s) in enumerate(zip(prompts, seeds))])
+    by_id = {r.request_id: r for r in results}
+    for i, s in enumerate(singles):
+        np.testing.assert_array_equal(by_id[i].tokens, s.tokens)
+        assert by_id[i].steps == s.steps
