@@ -21,6 +21,20 @@ run() {  # run <name> <timeout-s> <cmd...>
   echo "--- [$name] rc=$? $(date -u +%FT%TZ)" >&2
 }
 
+probe() {  # tunnel up? (the call HANGS when down, hence the hard timeout)
+  timeout 90 python -c "import jax; jax.devices()" >/dev/null 2>&1
+}
+
+bail_if_down() {  # tunnel died: unlock so the poller relaunches us later
+  if ! probe; then
+    echo "=== tunnel down at $1; unlocking and exiting $(date -u +%FT%TZ) ===" >&2
+    rm -f /tmp/campaign_r3.lock
+    exit 1
+  fi
+}
+
+bail_if_down start
+
 # 1. TPU test pass for the headline kernel paths (rolled mask included:
 #    compiled Mosaic, the path interpret-mode CI can only emulate)
 run tpu-kernel-tests 2400 env LADE_TEST_TPU=1 python -m pytest \
@@ -30,13 +44,19 @@ run tpu-e2e-tests 2400 env LADE_TEST_TPU=1 python -m pytest \
     tests/test_e2e_greedy.py -q --tb=short -p no:cacheprovider \
     2>&1 | tee -a data/tpu_test_run_r3.txt
 
+bail_if_down "after tests"
+
 # 2. 7B quant graphs: seed cache + first numbers
 run seed-7b 5400 python scripts/seed_7b_cache.py int4 int8 \
     > data/campaign_seed7b.json
 
+bail_if_down "after seed-7b"
+
 # 3. full bench (captures headline + all variants, seeds everything)
 run bench 4200 env LADE_BENCH_BUDGET_S=3300 LADE_BENCH_BACKEND_WAIT_S=600 \
     python bench.py > data/campaign_bench.json
+
+bail_if_down "after bench"
 
 # 4. realistic-compression W/N/G sweep
 run tune-realistic 4200 python scripts/tune_realistic.py --grid small \
