@@ -25,6 +25,13 @@ if os.environ.get("LADE_TEST_TPU") == "1":
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/jax_lade"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    # Tests assert token-exactness on random near-tie fp32 models. On TPU
+    # the DEFAULT precision computes fp32 matmuls as bf16 passes, whose
+    # shape-dependent rounding flips argmax ties between the composite and
+    # AR forwards (observed in the round-3 hardware run). HIGHEST restores
+    # true-f32 MXU passes, matching the CPU semantics the suite was
+    # calibrated on. Production engines are bf16 and unaffected.
+    jax.config.update("jax_default_matmul_precision", "highest")
 else:
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")

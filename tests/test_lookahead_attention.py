@@ -18,6 +18,16 @@ from lookaheaddecoding_tpu.ops.lookahead_attention import (
 
 NEG = float("-inf")
 
+# On CPU the kernel runs in interpret mode (no Mosaic compiler); on TPU
+# (LADE_TEST_TPU=1) run the REAL compiled kernel — that's the evidence the
+# hardware pass exists to record. Tolerances: interpret mode is plain XLA
+# f32 (tight); the compiled Mosaic kernel's in-kernel dot rounding differs
+# slightly from the XLA dense path even at HIGHEST precision (conftest sets
+# it), so allow 2e-3 — still 3 orders below the O(1) signal of a mask error.
+INTERP = jax.default_backend() == "cpu"
+TOL = (dict(atol=2e-5, rtol=2e-4) if INTERP
+       else dict(atol=2e-3, rtol=2e-3))
+
 
 @pytest.mark.parametrize("level,window,guess", [
     (3, 2, 1), (4, 5, 4), (5, 7, 7), (7, 20, 20), (4, 6, 0),
@@ -55,9 +65,9 @@ def test_kernel_matches_dense_xla(kv_len, rep):
 
     out = lookahead_attention(
         q, k, v, jnp.int32(kv_len), level=4, window=5, guess_size=3,
-        block_k=64, interpret=True)
+        block_k=64, interpret=INTERP)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               atol=2e-5, rtol=2e-4)
+                               **TOL)
 
 
 @pytest.mark.parametrize("kv_len", [0, 37, 200])
@@ -86,9 +96,9 @@ def test_kernel_sliding_window_matches_dense(kv_len, sw):
 
     out = lookahead_attention(
         q, k, v, jnp.int32(kv_len), level=4, window=5, guess_size=3,
-        block_k=64, sliding_window=sw, interpret=True)
+        block_k=64, sliding_window=sw, interpret=INTERP)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               atol=2e-5, rtol=2e-4)
+                               **TOL)
 
 
 def test_kernel_causal_sliding_window_matches_dense():
@@ -104,9 +114,9 @@ def test_kernel_causal_sliding_window_matches_dense():
     ref = attention_xla(q, k, v, jnp.where(vis, 0.0, NEG).astype(jnp.float32))
     out = lookahead_attention(
         q, k, v, jnp.int32(start), level=4, window=5, guess_size=3,
-        block_k=64, causal=True, sliding_window=sw, interpret=True)
+        block_k=64, causal=True, sliding_window=sw, interpret=INTERP)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               atol=2e-5, rtol=2e-4)
+                               **TOL)
 
 
 @pytest.mark.parametrize("start", [0, 1, 40, 150])
@@ -128,9 +138,9 @@ def test_kernel_causal_prefill_matches_dense(start):
 
     out = lookahead_attention(
         q, k, v, jnp.int32(start), level=4, window=5, guess_size=3,
-        block_k=64, causal=True, interpret=True)
+        block_k=64, causal=True, interpret=INTERP)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               atol=2e-5, rtol=2e-4)
+                               **TOL)
 
 
 def test_e2e_pallas_prefill_matches_xla_prefill():
@@ -199,7 +209,7 @@ def test_rolled_spec_mask_matches_iota_path(kv_len):
     must equal the iota-derived mask path bit-for-bit. On CPU the roll runs
     through the jnp.roll interpret emulation, so the mask-placement
     arithmetic is CI-covered; on TPU it exercises the real Mosaic roll."""
-    interp = jax.default_backend() == "cpu"
+    interp = INTERP
     lcfg = LookaheadConfig(level=4, window_size=5, guess_set_size=4)
     lay = build_layout(lcfg)
     s = lay.seq_len
