@@ -47,7 +47,18 @@ def _quantize_fused(wf, bits: int):
     half = q.shape[-2] // 2
     lo = q[..., :half, :] & 0x0F
     hi = (q[..., half:, :] & 0x0F) << 4
-    return {"q4": (lo | hi).astype(jnp.int8), "scale": scale}
+    packed = (lo | hi).astype(jnp.int8)
+    # Kernel-friendly row padding: dims like Llama-7B's 11008 pack to
+    # 128*43 rows (43 prime) which the Pallas kernel cannot tile — zero
+    # packed rows unpack to zero weights, so padding is exact
+    # (ops/quant_matmul.py:pad_packed_rows; the matmul and the dequant
+    # fallback both pad the activation halves to match).
+    from .quant_matmul import pad_packed_rows
+    k2p = pad_packed_rows(half)
+    if k2p != half:
+        widths = [(0, 0)] * (packed.ndim - 2) + [(0, k2p - half), (0, 0)]
+        packed = jnp.pad(packed, widths)
+    return {"q4": packed, "scale": scale}
 
 
 def quantize_weight(w: jax.Array, bits: int = 8) -> Dict[str, Any]:
@@ -64,7 +75,11 @@ def quantize_weight(w: jax.Array, bits: int = 8) -> Dict[str, Any]:
     return _quantize_fused(w, bits)
 
 
-def dequantize_weight(wq: Dict[str, Any], dtype=jnp.bfloat16) -> jax.Array:
+def dequantize_weight(wq: Dict[str, Any], dtype=jnp.bfloat16,
+                      k: int = 0) -> jax.Array:
+    """Reconstruct the bf16 weight. For int4, pass the logical input dim
+    ``k`` to strip kernel-tiling pad rows (pad_packed_rows); without it the
+    padded layout is returned as-is (zero rows interleaved mid-matrix)."""
     if "q" in wq:
         return (wq["q"].astype(jnp.float32) * wq["scale"]).astype(dtype)
     # int4: unpack the split-half nibble planes (axis -2 mirrors the
@@ -72,6 +87,9 @@ def dequantize_weight(wq: Dict[str, Any], dtype=jnp.bfloat16) -> jax.Array:
     packed = wq["q4"]
     lo = (packed << 4).astype(jnp.int8) >> 4        # sign-extend low nibble
     hi = packed >> 4                                 # arithmetic shift
+    if k and 2 * packed.shape[-2] != k:
+        lo = lo[..., : k // 2, :]
+        hi = hi[..., : k // 2, :]
     q = jnp.concatenate([lo, hi], axis=-2)          # split-half layout
     return (q.astype(jnp.float32) * wq["scale"]).astype(dtype)
 
@@ -107,7 +125,7 @@ def qmatmul(x: jax.Array, w, dtype=None) -> jax.Array:
                                pipeline=INT4_PIPELINE,
                                unpack_bits=INT4_UNPACK_BITS)
     dtype = dtype or x.dtype
-    return x @ dequantize_weight(w, dtype=dtype)
+    return x @ dequantize_weight(w, dtype=dtype, k=x.shape[-1])
 
 
 _QUANT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down",

@@ -145,6 +145,42 @@ def _pick_block(dim: int, cap: int = 2048, floor: int = 256) -> int:
     return 0
 
 
+def pad_packed_rows(k2: int, cap: int = 0) -> int:
+    """Packed-row count the int4 kernel should see for input half-dim
+    ``k2``: ``k2`` itself when it already tiles with big blocks, else the
+    smallest zero-row-padded size that does.
+
+    Real models hit pathological dims: Llama-2-7B's intermediate 11008
+    packs to k2=5504 = 128*43 (43 prime) — untileable above the 256-row
+    floor, so the whole down projection silently fell back to the XLA
+    dequant path (the one this kernel exists to replace); Qwen2-7B's 18944
+    packs to 9472 whose only exact tiling is 37 blocks of 256. Zero packed
+    rows unpack to zero weights, so padding changes nothing numerically
+    (the matmul pads the activation halves to match)."""
+    cap = cap or CAP_K
+    cap_aligned = cap - cap % 128
+    if k2 < 256:
+        return k2                            # below the kernel's row floor
+    b0 = _pick_block(k2, cap=cap, floor=256)
+    if b0 >= 1024:
+        return k2
+    best = 0
+    for nb in range(1, 17):
+        rows = -(-k2 // nb)                  # ceil rows per block
+        b = -(-rows // 128) * 128            # lane-align up
+        if b > cap_aligned or b < 256:
+            continue
+        k2p = nb * b
+        if best == 0 or k2p < best:
+            best = k2p
+    if best == 0 or best == k2:
+        return k2
+    # keep an existing exact tiling unless padding is modest
+    if b0 and best > k2 * 1.25:
+        return k2
+    return best
+
+
 @functools.partial(jax.jit, static_argnames=("block_n", "block_k",
                                              "pipeline", "unpack_bits",
                                              "interpret"))
@@ -158,13 +194,19 @@ def int4_matmul(
     unpack_bits: int = 32,   # 16 = i16-lane nibble shifts (half the VPU ops)
     interpret: bool = False,
 ) -> jax.Array:
-    """x @ dequant(q4, scale) with in-kernel nibble unpack."""
+    """x @ dequant(q4, scale) with in-kernel nibble unpack.
+
+    ``q4`` may carry zero-padded packed rows (k2p >= K/2, see
+    pad_packed_rows): zero rows unpack to zero weights, so the activation
+    halves are simply zero-padded to match — the pad touches only the tiny
+    [T, pad] activation slices, never the weights."""
     t, k = x.shape
-    k2, n = q4.shape
-    assert k == 2 * k2, "split-half packed weight mismatch"
+    k2p, n = q4.shape
+    k2 = k // 2
+    assert k == 2 * k2 and k2p >= k2, "split-half packed weight mismatch"
     auto_n = block_n == 0
     block_n = block_n or _pick_block(n, cap=CAP_N)
-    block_k = block_k or _pick_block(k2, cap=CAP_K, floor=256)
+    block_k = block_k or _pick_block(k2p, cap=CAP_K, floor=256)
     assert block_n and block_k, "untileable shapes; use the dequant fallback"
     # combined guard (auto sizing only — explicit blocks are the caller's
     # sweep to control): the unpack materializes the block at i32 width in
@@ -174,11 +216,14 @@ def int4_matmul(
         if not smaller:
             break
         block_n = smaller
-    n_kblocks = k2 // block_k
+    n_kblocks = k2p // block_k
     t_pad = -(-t // 8) * 8
     if t_pad != t:
         x = jnp.pad(x, ((0, t_pad - t), (0, 0)))
     x_lo, x_hi = x[:, :k2], x[:, k2:]
+    if k2p != k2:
+        x_lo = jnp.pad(x_lo, ((0, 0), (0, k2p - k2)))
+        x_hi = jnp.pad(x_hi, ((0, 0), (0, k2p - k2)))
 
     if unpack_bits not in (16, 32):
         raise ValueError(f"unpack_bits must be 16 or 32, got {unpack_bits}")
@@ -222,6 +267,7 @@ def int4_matmul(
 
 
 def int4_matmul_supported(k: int, q4_shape) -> bool:
-    k2, n = q4_shape
-    return (k == 2 * k2 and _pick_block(k2, cap=CAP_K, floor=256) != 0
+    k2p, n = q4_shape
+    return (k % 2 == 0 and k2p >= k // 2
+            and _pick_block(k2p, cap=CAP_K, floor=256) != 0
             and _pick_block(n, cap=CAP_N) != 0)

@@ -59,3 +59,58 @@ def test_supported_predicate():
     assert not int4_matmul_supported(512, (256, 100))   # N not tiled
     assert not int4_matmul_supported(100, (50, 256))    # K not tiled
     assert not int4_matmul_supported(512, (200, 256))   # half mismatch
+
+
+def test_pad_packed_rows_rules():
+    from lookaheaddecoding_tpu.ops.quant_matmul import pad_packed_rows
+    # clean dims stay untouched
+    assert pad_packed_rows(2048) == 2048     # single block
+    assert pad_packed_rows(2816) == 2816
+    assert pad_packed_rows(256) == 256       # fits one block, no pad
+    assert pad_packed_rows(5632) == 5632     # 2 x 2816 exact
+    # Llama-2-7B down projection: 11008/2 = 5504 = 128*43 (43 prime) —
+    # untileable without padding; pads to 2 blocks of 2816
+    assert pad_packed_rows(5504) == 5632
+    # Qwen2-7B: 18944/2 = 9472 tiles only as 37 x 256; padding buys
+    # 5 big blocks of 1920 for 1.4% extra rows
+    assert pad_packed_rows(9472) == 9600
+
+
+def test_int4_matmul_padded_rows_parity():
+    """K=5888 packs to k2=2944 = 128*23 (23 prime): quantize_weight pads
+    the packed rows to 3072 and both the kernel and the dequant fallback
+    must reproduce the unpadded result exactly."""
+    from lookaheaddecoding_tpu.ops.quant import qmatmul
+    rng = np.random.RandomState(11)
+    k, n = 5888, 256
+    x = jnp.asarray(rng.randn(9, k).astype(np.float32))
+    w = rng.randn(k, n).astype(np.float32) * 0.2
+    wq = quantize_weight(w, bits=4)
+    assert wq["q4"].shape == (3072, n)           # padded
+    assert int4_matmul_supported(k, wq["q4"].shape)
+    ref = x @ dequantize_weight(wq, dtype=jnp.float32, k=k)
+    assert dequantize_weight(wq, dtype=jnp.float32, k=k).shape == (k, n)
+    out = int4_matmul(x, wq["q4"], wq["scale"], interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+    # qmatmul fallback (CPU backend) slices the pad rows via k
+    out2 = qmatmul(x, wq)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+    # padded quantization loses nothing vs the unpadded reference values
+    ref_w = np.asarray(dequantize_weight(wq, dtype=jnp.float32, k=k))
+    direct = quantize_weight(w[: k // 2], bits=4)  # clean half, no pad
+    assert np.all(np.abs(ref_w) <= np.abs(w).max() + 1e-3)
+
+
+def test_int4_matmul_padded_rows_stacked():
+    """Stacked [L, K, N] trees pad on axis -2 like the 7B builder's
+    per-leaf quantization."""
+    rng = np.random.RandomState(5)
+    k, n = 5888, 128
+    w = rng.randn(2, k, n).astype(np.float32) * 0.2
+    wq = quantize_weight(w, bits=4)
+    assert wq["q4"].shape == (2, 3072, n)
+    deq = dequantize_weight(wq, dtype=jnp.float32, k=k)
+    assert deq.shape == (2, k, n)
+    np.testing.assert_allclose(np.asarray(deq[1]), w[1], atol=0.1)
