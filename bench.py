@@ -361,6 +361,8 @@ def main_child():
                             w = json.load(f)["results"][0]
                         tuned = {k: w[k] for k in
                                  ("level", "window_size", "guess_set_size")}
+                        if w.get("pool_key_len", 1) != 1:
+                            tuned["pool_key_len"] = w["pool_key_len"]
                     except (OSError, KeyError, IndexError, ValueError):
                         pass
                 if tuned is None:

@@ -222,8 +222,15 @@ class LookaheadEngine:
 
         return call
 
-    def _host_args(self, prompt_ids, seed):
-        """Validate the prompt and build the fused call's host operands."""
+    def _host_args(self, prompt_ids, seed, max_new_tokens=1):
+        """Validate the prompt and build the fused call's host operands.
+
+        ``max_new_tokens`` beyond engine capacity is legal — the decode
+        loop stops at the KV budget and ``GenerationResult.num_generated``
+        reports the actual count (serving's generate-to-capacity
+        contract) — but it must be at least 1."""
+        if max_new_tokens < 1:
+            raise ValueError("max_new_tokens must be >= 1")
         prompt = np.asarray(prompt_ids, np.int32).reshape(-1)
         P = len(prompt)
         M = self.ecfg.max_seq_len
@@ -249,7 +256,8 @@ class LookaheadEngine:
 
     def _run_fused(self, fused, prompt_ids, seed, max_new_tokens, eos,
                    *extra):
-        out_buf, P, rng, fill = self._host_args(prompt_ids, seed)
+        out_buf, P, rng, fill = self._host_args(prompt_ids, seed,
+                                                max_new_tokens)
         return fused(self.params, out_buf, P, rng, fill,
                      jnp.int32(max_new_tokens), eos, *extra)
 

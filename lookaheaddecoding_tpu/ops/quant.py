@@ -110,6 +110,38 @@ INT4_PIPELINE = os.environ.get("LADE_INT4_PIPELINE", "0") != "0"
 INT4_UNPACK_BITS = int(os.environ.get("LADE_INT4_UNPACK_BITS", "32"))
 
 
+# int4 matmul implementation: "kernel" = fused Pallas unpack-matmul;
+# "bitcast" = XLA-native s4 operands (bitcast the packed bytes to
+# jnp.int4 nibble planes and let XLA fuse the s4->bf16 convert into the
+# MXU operand load — zero VPU unpack if the fusion happens);
+# "dequant" = explicit dequantize (debug / CPU reference).
+INT4_IMPL = os.environ.get("LADE_INT4_IMPL", "kernel")
+
+
+def _int4_bitcast_matmul(x: jax.Array, w, dtype) -> jax.Array:
+    """x @ dequant(q4) expressed on jnp.int4 views of the packed bytes.
+
+    Split-half packing (quantize_weight): byte row r = input row r (low
+    nibble) + row r + K/2 (high nibble). ``bitcast_convert_type(int8 ->
+    int4)`` exposes the nibbles as a trailing axis of 2 (LSB-first, so
+    index 0 = low nibble = the signed low-half weight — verified against
+    dequantize_weight in tests/test_quant_matmul.py). Two narrow dots per
+    projection, one per nibble plane; per-output-channel scales factor out
+    of the contraction exactly."""
+    q4, scale = w["q4"], w["scale"]
+    k = x.shape[-1]
+    k2 = k // 2
+    planes = jax.lax.bitcast_convert_type(q4, jnp.int4)   # [..., k2p, N, 2]
+    lo = planes[..., :k2, :, 0].astype(dtype)
+    hi = planes[..., :k2, :, 1].astype(dtype)
+    dims = (((x.ndim - 1,), (0,)), ((), ()))
+    acc = (jax.lax.dot_general(x[..., :k2], lo, dims,
+                               preferred_element_type=jnp.float32)
+           + jax.lax.dot_general(x[..., k2:], hi, dims,
+                                 preferred_element_type=jnp.float32))
+    return (acc * scale).astype(dtype)
+
+
 def qmatmul(x: jax.Array, w, dtype=None) -> jax.Array:
     """``x @ w`` where w is a plain array or a quantized dict. int8 relies
     on XLA fusing the convert into the MXU load; int4 dispatches to the
@@ -117,14 +149,16 @@ def qmatmul(x: jax.Array, w, dtype=None) -> jax.Array:
     fuse), falling back to explicit dequant on CPU / unsupported shapes."""
     if not isinstance(w, dict):
         return x @ w
-    if "q4" in w and INT4_KERNEL_ENABLED:
+    dtype = dtype or x.dtype
+    if "q4" in w and INT4_IMPL == "bitcast":
+        return _int4_bitcast_matmul(x, w, dtype)
+    if "q4" in w and INT4_KERNEL_ENABLED and INT4_IMPL == "kernel":
         from .quant_matmul import int4_matmul, int4_matmul_supported
         if (jax.default_backend() != "cpu"
                 and int4_matmul_supported(x.shape[-1], w["q4"].shape)):
             return int4_matmul(x, w["q4"], w["scale"],
                                pipeline=INT4_PIPELINE,
                                unpack_bits=INT4_UNPACK_BITS)
-    dtype = dtype or x.dtype
     return x @ dequantize_weight(w, dtype=dtype, k=x.shape[-1])
 
 

@@ -49,6 +49,7 @@ def autotune(
     engine_cfg: Optional[EngineConfig] = None,
     pool_from_prompt: bool = True,
     seed: int = 0,
+    pool_key_len: int = 1,
 ) -> Tuple[LookaheadConfig, List[TuneResult]]:
     """Measure each (level, window, guess) candidate; return the fastest
     LookaheadConfig and the full report sorted best-first."""
@@ -59,7 +60,8 @@ def autotune(
         try:
             lcfg = LookaheadConfig(
                 level=level, window_size=window, guess_set_size=guess,
-                pool_from_prompt=pool_from_prompt)
+                pool_from_prompt=pool_from_prompt,
+                pool_key_len=pool_key_len)
             eng = LookaheadEngine(model_cfg, params, lcfg, engine_cfg)
             eng.generate(prompt_ids, 8, seed=seed)       # compile + warm
             # median of 3 full runs; generate() itself records wall time

@@ -49,6 +49,12 @@ def main():
     ap.add_argument("--noisy-scale", type=float, default=0.036)
     ap.add_argument("--out", default="data/tune_realistic.json")
     ap.add_argument("--budget-s", type=float, default=3000)
+    ap.add_argument("--pool-key-len", type=int, default=1, choices=(1, 2),
+                    help="2 = bigram pool keys (sharper guess sets on "
+                         "noisy/realistic models)")
+    ap.add_argument("--candidates", default="",
+                    help="comma list of L/W/G triples, e.g. '5/5/10,4/5/7' "
+                         "(overrides --grid)")
     args = ap.parse_args()
     t_start = time.time()
 
@@ -75,7 +81,11 @@ def main():
     log(f"AR baseline: {ar_tps:.1f} tok/s (reps {ar_reps})")
     del eng0
 
-    grid = GRIDS[args.grid]
+    if args.candidates:
+        grid = [tuple(int(v) for v in c.split("/"))
+                for c in args.candidates.split(",")]
+    else:
+        grid = GRIDS[args.grid]
     rows = []
     for i, cand in enumerate(grid):
         if time.time() - t_start > args.budget_s:
@@ -83,7 +93,8 @@ def main():
             break
         try:
             _, rep = autotune(mcfg, params, prompt, max_new_tokens=args.new,
-                              candidates=[cand], engine_cfg=ecfg)
+                              candidates=[cand], engine_cfg=ecfg,
+                              pool_key_len=args.pool_key_len)
         except ValueError as e:
             log(f"  {cand}: infeasible ({e})")
             continue
@@ -92,6 +103,7 @@ def main():
         rows.append({
             "level": cand[0], "window_size": cand[1],
             "guess_set_size": cand[2],
+            "pool_key_len": args.pool_key_len,
             "tok_per_sec": round(r.tokens_per_sec, 1),
             "speedup_vs_ar": round(speedup, 3),
             "compression_ratio": round(r.compression_ratio, 2),
@@ -103,6 +115,7 @@ def main():
     rows.sort(key=lambda x: -x["tok_per_sec"])
     out = {
         "noisy_scale": args.noisy_scale,
+        "pool_key_len": args.pool_key_len,
         "ar_tok_per_sec": round(ar_tps, 1),
         "n_candidates_measured": len(rows),
         "grid": args.grid,

@@ -114,3 +114,44 @@ def test_int4_matmul_padded_rows_stacked():
     deq = dequantize_weight(wq, dtype=jnp.float32, k=k)
     assert deq.shape == (2, k, n)
     np.testing.assert_allclose(np.asarray(deq[1]), w[1], atol=0.1)
+
+
+@pytest.mark.parametrize("t,k,n", [(8, 512, 256), (9, 5888, 256)])
+def test_int4_bitcast_matmul_matches_dequant(t, k, n):
+    """XLA-native s4 path (quant._int4_bitcast_matmul): bitcast the packed
+    bytes to int4 nibble planes and contract each half separately. Must
+    match the explicit-dequant reference at tileable AND padded K (padding
+    appends zero packed rows AFTER split-half packing, so the :k//2 plane
+    slice is exact).
+
+    The packed weights MUST be jit ARGUMENTS here: XLA's constant folder
+    mis-orders int8->int4 bitcast nibbles on closure-embedded constants
+    (observed on the 2026-08 CPU backend; traced operands are correct on
+    CPU and TPU). The engine always passes params as jit arguments, so
+    production is on the traced path."""
+    from lookaheaddecoding_tpu.ops.quant import _int4_bitcast_matmul
+
+    rng = np.random.RandomState(t)
+    x = jnp.asarray(rng.randn(t, k).astype(np.float32))
+    w = rng.randn(k, n).astype(np.float32) * 0.2
+    wq = quantize_weight(w, bits=4)
+    ref = x @ dequantize_weight(wq, dtype=jnp.float32, k=k)
+    out = jax.jit(
+        lambda x, wq: _int4_bitcast_matmul(x, wq, jnp.float32))(x, wq)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_int4_impl_env_dispatch(monkeypatch):
+    """LADE_INT4_IMPL=bitcast routes qmatmul through the s4 path."""
+    from lookaheaddecoding_tpu.ops import quant
+
+    rng = np.random.RandomState(3)
+    k, n = 512, 256
+    x = jnp.asarray(rng.randn(4, k).astype(np.float32))
+    wq = quantize_weight(rng.randn(k, n).astype(np.float32) * 0.2, bits=4)
+    ref = x @ dequantize_weight(wq, dtype=jnp.float32, k=k)
+    monkeypatch.setattr(quant, "INT4_IMPL", "bitcast")
+    out = quant.qmatmul(x, wq, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
