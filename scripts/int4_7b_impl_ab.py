@@ -66,10 +66,16 @@ def main():
         del e
         gc.collect()
 
-    quant.INT4_IMPL, quant.INT4_PIPELINE = "kernel", True
-    run("kernel+pipeline")
+    from lookaheaddecoding_tpu.ops import quant_matmul as qm
+
     quant.INT4_IMPL, quant.INT4_PIPELINE = "bitcast", False
     run("bitcast")
+    # Pipeline needs VMEM-sized blocks at 7B: the double-buffered unpack
+    # scratch is bf16[block_k, block_n] per buffer — default caps
+    # (2816, 16384) ask for 180M of the 128M vmem. 1024x2048 = 4M/buffer.
+    quant.INT4_IMPL, quant.INT4_PIPELINE = "kernel", True
+    qm.CAP_K, qm.CAP_N = 1024, 2048
+    run("kernel+pipeline capK=1024 capN=2048")
 
 
 if __name__ == "__main__":
