@@ -363,6 +363,8 @@ def main_child():
                                  ("level", "window_size", "guess_set_size")}
                         if w.get("pool_key_len", 1) != 1:
                             tuned["pool_key_len"] = w["pool_key_len"]
+                        if w.get("attention_impl"):
+                            tuned["attention_impl"] = w["attention_impl"]
                     except (OSError, KeyError, IndexError, ValueError):
                         pass
                 if tuned is None:
