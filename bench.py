@@ -255,13 +255,43 @@ def run_pair(eng, prompt, n_new, label):
     }, r, rb
 
 
+DETAIL_FILE = os.environ.get(
+    "LADE_BENCH_DETAIL_FILE",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "data", "bench_detail.json"))
+
+
 def emit(value, detail):
+    """ONE COMPACT stdout JSON line (round-3 lesson: inlining every variant
+    overflowed the driver's tail capture and BENCH_r03 recorded
+    parsed=null). The full detail dict goes to ``DETAIL_FILE``; the stdout
+    line carries only the headline plus a one-line summary per variant."""
+    try:
+        os.makedirs(os.path.dirname(DETAIL_FILE), exist_ok=True)
+        with open(DETAIL_FILE, "w") as f:
+            json.dump({"value": value, "detail": detail}, f, indent=1)
+    except OSError as e:  # pragma: no cover - bench resilience
+        log(f"could not write detail file: {e}")
+
+    def brief(v):
+        if isinstance(v, dict):
+            if "speedup" in v:
+                return v["speedup"]
+            return {k: brief(x) for k, x in v.items()
+                    if isinstance(x, (dict, str))}
+        return v if isinstance(v, str) else None
+
+    summary = {k: brief(v) for k, v in detail.get("variants", {}).items()}
     print(json.dumps({
         "metric": "tinyllama_1p1b_greedy_lookahead_speedup_vs_ar",
         "value": value,
         "unit": "x",
         "vs_baseline": round(value / REFERENCE_SPEEDUP, 3),
-        "detail": detail,
+        "detail_file": os.path.relpath(
+            DETAIL_FILE, os.path.dirname(os.path.abspath(__file__))),
+        "variant_speedups": summary,
+        "backend": detail.get("backend", "")[:60],
+        "token_exact": detail.get("token_exact"),
     }), flush=True)
 
 

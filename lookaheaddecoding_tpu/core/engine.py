@@ -363,7 +363,8 @@ class LookaheadEngine:
             raise ValueError("seeds must match prompts in length")
         if seeds is None:
             seeds = [seed + i for i in range(len(prompts))]
-        args = [self._host_args(p, s) for p, s in zip(prompts, seeds)]
+        args = [self._host_args(p, s, max_new_tokens)
+                for p, s in zip(prompts, seeds)]
         out_bufs = jnp.stack([a[0] for a in args])
         ps = jnp.stack([a[1] for a in args])
         rngs = jnp.stack([a[2] for a in args])

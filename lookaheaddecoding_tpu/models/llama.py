@@ -383,8 +383,14 @@ def fuse_params(params: Dict, qkv: bool = True,
         qkey = "q" if "q" in ws[0] else "q4"
         if not all(isinstance(w, dict) and qkey in w for w in ws):
             return None
-        return {qkey: jnp.concatenate([w[qkey] for w in ws], axis=-1),
-                "scale": jnp.concatenate([w["scale"] for w in ws], axis=-1)}
+        out = {qkey: jnp.concatenate([w[qkey] for w in ws], axis=-1),
+               "scale": jnp.concatenate([w["scale"] for w in ws], axis=-1)}
+        if all("q4_pad" in w for w in ws):
+            # zero-element pad sentinel (ops/quant.py): same K -> same pad
+            # rows; the concat doubles as a shape-equality assertion
+            out["q4_pad"] = jnp.concatenate(
+                [w["q4_pad"] for w in ws], axis=-1)
+        return out
 
     new_lp = dict(lp)
     if qkv and "wqkv" not in lp:

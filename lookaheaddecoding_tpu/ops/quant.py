@@ -27,11 +27,14 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, static_argnames=("bits",))
-def _quantize_fused(wf, bits: int):
+@functools.partial(jax.jit, static_argnames=("bits", "cap_k"))
+def _quantize_fused(wf, bits: int, cap_k: int = 0):
     """Jitted so XLA streams the big stacks through fused elementwise ops —
     eager mode materializes every intermediate ([L, in, out] fp32 temps
-    OOM'd the device on 3B-class trees)."""
+    OOM'd the device on 3B-class trees). ``cap_k`` (the kernel K-block cap
+    governing pad sizing) is a static argument so changing
+    ``LADE_INT4_CAP_K``/``quant_matmul.CAP_K`` mid-process recompiles with
+    the new padding instead of silently reusing a stale cached layout."""
     wf = wf.astype(jnp.float32)
     amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)
     if bits == 8:
@@ -54,11 +57,18 @@ def _quantize_fused(wf, bits: int):
     # (ops/quant_matmul.py:pad_packed_rows; the matmul and the dequant
     # fallback both pad the activation halves to match).
     from .quant_matmul import pad_packed_rows
-    k2p = pad_packed_rows(half)
+    k2p = pad_packed_rows(half, cap=cap_k)
     if k2p != half:
         widths = [(0, 0)] * (packed.ndim - 2) + [(0, k2p - half), (0, 0)]
         packed = jnp.pad(packed, widths)
-    return {"q4": packed, "scale": scale}
+    # Pad metadata travels IN THE SHAPE of a zero-element sentinel leaf
+    # (size 0, so no HBM and no traced value): consumers recover the
+    # logical packed-row count as q4.shape[-2] - q4_pad.shape[-2] without
+    # caller cooperation, at trace time. A plain int leaf would become a
+    # tracer under jit and could not drive static layout decisions.
+    sentinel = packed.shape[:-2] + (k2p - half, 0)
+    return {"q4": packed, "scale": scale,
+            "q4_pad": jnp.zeros(sentinel, jnp.int8)}
 
 
 def quantize_weight(w: jax.Array, bits: int = 8) -> Dict[str, Any]:
@@ -72,24 +82,43 @@ def quantize_weight(w: jax.Array, bits: int = 8) -> Dict[str, Any]:
     w = jnp.asarray(w)
     if bits == 4:
         assert w.shape[-2] % 2 == 0, "input dim must be even for int4 packing"
+        from . import quant_matmul as qm
+        return _quantize_fused(w, bits, cap_k=qm.CAP_K)
     return _quantize_fused(w, bits)
+
+
+def logical_packed_rows(wq: Dict[str, Any]):
+    """Logical (pre-padding) packed-row count of an int4 dict, or None for
+    legacy dicts quantized before the ``q4_pad`` sentinel existed."""
+    if "q4_pad" not in wq:
+        return None
+    return wq["q4"].shape[-2] - wq["q4_pad"].shape[-2]
 
 
 def dequantize_weight(wq: Dict[str, Any], dtype=jnp.bfloat16,
                       k: int = 0) -> jax.Array:
-    """Reconstruct the bf16 weight. For int4, pass the logical input dim
-    ``k`` to strip kernel-tiling pad rows (pad_packed_rows); without it the
-    padded layout is returned as-is (zero rows interleaved mid-matrix)."""
+    """Reconstruct the bf16 weight. int4 pad rows (pad_packed_rows) are
+    stripped automatically via the ``q4_pad`` sentinel shape; ``k`` (the
+    logical input dim) is cross-checked when given and required only for
+    legacy dicts lacking the sentinel — a padded legacy dict without ``k``
+    would silently return the padded layout (zero rows interleaved
+    mid-matrix), so callers of old checkpoints should pass it."""
     if "q" in wq:
         return (wq["q"].astype(jnp.float32) * wq["scale"]).astype(dtype)
     # int4: unpack the split-half nibble planes (axis -2 mirrors the
     # packing, so stacked [L, K/2, N] trees dequantize correctly too)
     packed = wq["q4"]
+    k2 = logical_packed_rows(wq)
+    if k:
+        if k2 is not None and k != 2 * k2:
+            raise ValueError(
+                f"int4 weight packed for input dim {2 * k2}, got k={k}")
+        k2 = k // 2
     lo = (packed << 4).astype(jnp.int8) >> 4        # sign-extend low nibble
     hi = packed >> 4                                 # arithmetic shift
-    if k and 2 * packed.shape[-2] != k:
-        lo = lo[..., : k // 2, :]
-        hi = hi[..., : k // 2, :]
+    if k2 is not None and packed.shape[-2] != k2:
+        lo = lo[..., :k2, :]
+        hi = hi[..., :k2, :]
     q = jnp.concatenate([lo, hi], axis=-2)          # split-half layout
     return (q.astype(jnp.float32) * wq["scale"]).astype(dtype)
 
@@ -127,7 +156,14 @@ def _int4_bitcast_matmul(x: jax.Array, w, dtype) -> jax.Array:
     index 0 = low nibble = the signed low-half weight — verified against
     dequantize_weight in tests/test_quant_matmul.py). Two narrow dots per
     projection, one per nibble plane; per-output-channel scales factor out
-    of the contraction exactly."""
+    of the contraction exactly.
+
+    CPU caveat: the XLA *CPU* constant folder mis-orders the int8->int4
+    nibbles when ``q4`` is a closure-embedded CONSTANT (correct on TPU and
+    for traced operands on both backends — tests/test_quant_matmul.py
+    pins both; PARITY.md documents the miscompile). Pass quantized params
+    as jit ARGUMENTS, never bake them into the traced function, when using
+    LADE_INT4_IMPL=bitcast on the CPU backend."""
     q4, scale = w["q4"], w["scale"]
     k = x.shape[-1]
     k2 = k // 2
@@ -155,7 +191,8 @@ def qmatmul(x: jax.Array, w, dtype=None) -> jax.Array:
     if "q4" in w and INT4_KERNEL_ENABLED and INT4_IMPL == "kernel":
         from .quant_matmul import int4_matmul, int4_matmul_supported
         if (jax.default_backend() != "cpu"
-                and int4_matmul_supported(x.shape[-1], w["q4"].shape)):
+                and int4_matmul_supported(x.shape[-1], w["q4"].shape,
+                                          logical_k2=logical_packed_rows(w))):
             return int4_matmul(x, w["q4"], w["scale"],
                                pipeline=INT4_PIPELINE,
                                unpack_bits=INT4_UNPACK_BITS)

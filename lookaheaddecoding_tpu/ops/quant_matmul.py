@@ -266,8 +266,21 @@ def int4_matmul(
     return out[:t]
 
 
-def int4_matmul_supported(k: int, q4_shape) -> bool:
+def int4_matmul_supported(k: int, q4_shape, logical_k2=None) -> bool:
+    """Whether the kernel can run x[..., k] @ q4. ``logical_k2`` is the
+    weight's pre-padding packed-row count (quant.logical_packed_rows):
+    when known, pad-extended rows (k2p > k/2) are accepted only if the
+    weight was really packed for THIS k — a q4 packed for a larger K would
+    otherwise pass the shape test and silently compute a wrong result (the
+    hi-nibble plane rows would no longer correspond to x[:, k2:]). Legacy
+    dicts without the sentinel require exact k2p == k/2."""
     k2p, n = q4_shape
-    return (k % 2 == 0 and k2p >= k // 2
-            and _pick_block(k2p, cap=CAP_K, floor=256) != 0
+    if k % 2 != 0:
+        return False
+    if logical_k2 is not None:
+        if logical_k2 != k // 2 or k2p < logical_k2:
+            return False
+    elif k2p != k // 2:
+        return False
+    return (_pick_block(k2p, cap=CAP_K, floor=256) != 0
             and _pick_block(n, cap=CAP_N) != 0)

@@ -59,6 +59,29 @@ def test_supported_predicate():
     assert not int4_matmul_supported(512, (256, 100))   # N not tiled
     assert not int4_matmul_supported(100, (50, 256))    # K not tiled
     assert not int4_matmul_supported(512, (200, 256))   # half mismatch
+    # Pad-extended rows are accepted ONLY with the sentinel's proof the
+    # weight was packed for THIS k; legacy dicts need exact k2p == k/2.
+    assert not int4_matmul_supported(512, (384, 256))             # legacy
+    assert int4_matmul_supported(512, (384, 256), logical_k2=256)
+    # q4 packed for a LARGER K must be rejected, not silently mis-multiplied
+    assert not int4_matmul_supported(512, (384, 256), logical_k2=384)
+
+
+def test_dequantize_auto_strips_pad_and_checks_k():
+    """The q4_pad sentinel makes pad stripping caller-independent: a padded
+    weight dequantized WITHOUT k must come back at the logical shape, and a
+    mismatched k must raise instead of slicing garbage."""
+    rng = np.random.RandomState(2)
+    k, n = 5888, 128
+    w = rng.randn(k, n).astype(np.float32) * 0.2
+    wq = quantize_weight(w, bits=4)
+    assert wq["q4"].shape == (3072, n)                  # padded
+    assert wq["q4_pad"].shape == (3072 - k // 2, 0)     # zero-element
+    deq = dequantize_weight(wq, dtype=jnp.float32)      # no k needed
+    assert deq.shape == (k, n)
+    np.testing.assert_allclose(np.asarray(deq), w, atol=0.1)
+    with pytest.raises(ValueError, match="packed for input dim"):
+        dequantize_weight(wq, k=2 * 3072)
 
 
 def test_pad_packed_rows_rules():
@@ -85,9 +108,11 @@ def test_int4_matmul_padded_rows_parity():
     k, n = 5888, 256
     x = jnp.asarray(rng.randn(9, k).astype(np.float32))
     w = rng.randn(k, n).astype(np.float32) * 0.2
+    from lookaheaddecoding_tpu.ops.quant import logical_packed_rows
     wq = quantize_weight(w, bits=4)
     assert wq["q4"].shape == (3072, n)           # padded
-    assert int4_matmul_supported(k, wq["q4"].shape)
+    assert int4_matmul_supported(k, wq["q4"].shape,
+                                 logical_k2=logical_packed_rows(wq))
     ref = x @ dequantize_weight(wq, dtype=jnp.float32, k=k)
     assert dequantize_weight(wq, dtype=jnp.float32, k=k).shape == (k, n)
     out = int4_matmul(x, wq["q4"], wq["scale"], interpret=True)
