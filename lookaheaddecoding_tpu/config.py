@@ -35,6 +35,14 @@ class LookaheadConfig:
     window_size: int = 7      # W: lookahead window width
     guess_set_size: int = 7   # G: max candidate n-grams verified per step & LRU cap
     pool_from_prompt: bool = False  # seed the n-gram pool from the prompt tokens
+    # ALWAYS_FWD_ONE (reference decoding.py:556-573 sampling, :1119-1130
+    # greedy): True (reference default; its greedy loop asserts it,
+    # decoding.py:873) slides the window one position per step; False
+    # additionally advances every level by the step's accepted span
+    # (max_hit), refilling the vacated tail with random confirmed-token
+    # copies (the reference's set_token(), :570-573). Window content only
+    # ever *proposes* tokens, so either setting is token-exact.
+    always_fwd_one: bool = True
     # Window seeding strategy (reference decoding.py:884-900 — the reference
     # defines random_set / copy_from / order_copy_from / copy_from_last and
     # uses copy_from):

@@ -394,17 +394,44 @@ def build_step_fns(
             # ---- window slide, ALWAYS_FWD_ONE semantics
             # (decoding.py:1119-1124): L0 <- L1[1:], Lk <- Lk+1, newest <-
             # new_results. On the flat layout: one static slice + concat.
+            window = jnp.concatenate([state.window[W:], new_results])
+            if not lcfg.always_fwd_one:
+                # AFO=0 (reference decoding.py:562-573): every level
+                # additionally advances by the accepted span — shift each
+                # level segment left by max_hit and refill the vacated tail
+                # with random confirmed-token copies (set_token()). On the
+                # flat buffer: a gather with a traced offset per segment.
+                seg = np.concatenate(
+                    [np.zeros(W - 1, np.int32)]
+                    + [np.full(W, 1 + lv, np.int32) for lv in range(N - 2)])
+                j_in = np.concatenate(
+                    [np.arange(W - 1, dtype=np.int32)]
+                    + [np.arange(W, dtype=np.int32)] * (N - 2))
+                seg_start = np.concatenate(
+                    [np.zeros(W - 1, np.int32)]
+                    + [np.full(W, (W - 1) + lv * W, np.int32)
+                       for lv in range(N - 2)])
+                lw = np.where(seg == 0, W - 1, W).astype(np.int32)
+                shifted_j = j_in + max_hit
+                keep = shifted_j < lw
+                idx = seg_start + jnp.minimum(shifted_j, lw - 1)
+                rng, k_ref = jax.random.split(rng)
+                ridx = jax.random.randint(
+                    k_ref, (n_window,), 0, n_confirmed)
+                window = jnp.where(keep, window[idx], out_buf[ridx])
             if mode == "sample":
                 # Sampling loop filters EOS out of the newest level to avoid
                 # numerical issues (reference filter_window,
-                # decoding.py:131-135, applied :578-580); replacement is a
-                # random copy from the confirmed tokens (``copy_from``).
+                # decoding.py:131-135, applied :578-580 AFTER the slide);
+                # replacement is a random copy from the confirmed tokens
+                # (``copy_from``).
                 rng, k_filt = jax.random.split(rng)
                 ridx = jax.random.randint(k_filt, (W,), 0, n_confirmed)
+                newest = window[-W:]
                 hit_eos = jnp.any(
-                    new_results[:, None] == eos_id[None, :], axis=1)
-                new_results = jnp.where(hit_eos, out_buf[ridx], new_results)
-            window = jnp.concatenate([state.window[W:], new_results])
+                    newest[:, None] == eos_id[None, :], axis=1)
+                window = window.at[-W:].set(
+                    jnp.where(hit_eos, out_buf[ridx], newest))
 
             finished = (
                 state.finished

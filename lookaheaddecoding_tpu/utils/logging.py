@@ -13,12 +13,20 @@ from typing import List, Optional
 
 
 class DecodeLog:
-    def __init__(self):
+    def __init__(self, debug: bool = False):
         self.records: List[list] = []   # [generated, steps, ratio]
+        # DEBUG=1 per-generate banner (reference decoding.py:1231-1234)
+        self.debug = debug
 
     def append(self, result) -> None:
         gen, steps = result.num_generated, result.steps
         self.records.append([gen, steps, round(gen / max(steps, 1), 2)])
+        if self.debug:
+            print(
+                "\n==========================ACCELERATION===REPORT======================================\n"
+                f"Generated tokens: {gen} Total steps: {steps} "
+                f"Compression ratio: {round(gen / max(steps, 1), 2)}\n"
+                "======================================================================================")
 
     def log_history(self, clear: bool = False) -> Optional[str]:
         """Aggregate summary (reference utils.py:74-83)."""
