@@ -163,6 +163,86 @@ def test_first_token_marginal_with_active_guesses():
     assert tv < 0.35, f"total variation too high with guesses active: {tv}"
 
 
+def test_mid_ngram_conditional_distribution_preserved():
+    """Statistical check of the WARPED-CONTINUATION path (the 2nd+ token of
+    a verified n-gram, reference decoding.py:504-540): conditioned on the
+    first position accepting draft token tau, the next emitted token must
+    follow the target conditional q(. | tau) = guess_probs[g, 0] EXACTLY —
+    through the multi-candidate accept/reject walk, the zero-out/renormalize
+    residual, and the candidate narrowing. This is where SpecInfer
+    implementations usually go wrong (e.g. continuing from the unwarped
+    base distribution, or from the wrong candidate's row).
+
+    Setup: V=8, three candidates — two sharing first token 2 (continuations
+    5 and 6) and one with first token 3 — so position 1 exercises the full
+    multi-candidate walk. Candidates sharing a prefix carry IDENTICAL
+    continuation rows (same context => same model conditional), as a real
+    teacher-forced forward would produce.
+    """
+    from lookaheaddecoding_tpu.ops.sampling import rejection_sample_verify
+
+    V, N_SAMPLES = 8, 20_000
+    rng = np.random.RandomState(0)
+
+    def rand_dist(peak_ix, peak):
+        p = rng.rand(V).astype(np.float64) * (1 - peak)
+        p[peak_ix] = 0
+        p = p / p.sum() * (1 - peak)
+        p[peak_ix] = peak
+        return p
+
+    # moderate draft probabilities so both accept and reject paths fire
+    probs_next = rand_dist(2, 0.35)
+    probs_next[3] += probs_next[4] * 0.5   # give draft 3 real mass too
+    probs_next[4] *= 0.5
+    probs_next /= probs_next.sum()
+    q_after2 = rand_dist(5, 0.4)    # target conditional given t0 = 2
+    q_after3 = rand_dist(1, 0.3)    # target conditional given t0 = 3
+
+    guess_tokens = jnp.asarray([[2, 5], [2, 6], [3, 1]], jnp.int32)
+    gp = np.zeros((3, 2, V), np.float64)
+    gp[0, 0] = gp[1, 0] = q_after2   # same prefix -> same conditional row
+    gp[2, 0] = q_after3
+    gp[:, 1] = 1.0 / V               # beyond-accept rows (unused marginals)
+    guess_probs = jnp.asarray(gp, jnp.float32)
+    guess_valid = jnp.ones((3,), bool)
+
+    keys = jax.random.split(jax.random.PRNGKey(42), N_SAMPLES)
+    run = jax.jit(jax.vmap(lambda k: rejection_sample_verify(
+        jnp.asarray(probs_next, jnp.float32), guess_probs, guess_tokens,
+        guess_valid, k)))
+    res = run(keys)
+    hits = np.asarray(res.hits)
+    max_hit = np.asarray(res.max_hit)
+
+    # invariant 0: first-token marginal is probs_next (existing coverage,
+    # re-asserted here because the conditional test depends on it)
+    emp0 = np.bincount(hits[:, 0], minlength=V) / N_SAMPLES
+    tv0 = 0.5 * np.abs(emp0 - probs_next).sum()
+    assert tv0 < 0.02, f"first-token marginal off: TV={tv0:.4f}"
+
+    # invariant 1: t0 = draft token tau  <=>  position 1 emitted
+    for tau in (2, 3):
+        sel = hits[:, 0] == tau
+        assert np.all(max_hit[sel] >= 1), "accepted draft but no continuation"
+
+    # invariant 2 (the mid-n-gram check): t1 | t0=tau ~ q(.|tau)
+    for tau, q in ((2, q_after2), (3, q_after3)):
+        sel = hits[:, 0] == tau
+        n_sel = int(sel.sum())
+        assert n_sel > 2000, f"too few acceptances of {tau} ({n_sel})"
+        emp1 = np.bincount(hits[sel, 1], minlength=V) / n_sel
+        tv = 0.5 * np.abs(emp1 - q).sum()
+        # empirical TV of a V=8 distribution at n>=2000: E ~ sqrt(V/n)~0.06
+        assert tv < 0.08, (
+            f"continuation conditional biased after t0={tau}: TV={tv:.4f}\n"
+            f"emp={np.round(emp1, 3)}\nq  ={np.round(q, 3)}")
+
+    # invariant 3: non-draft first tokens never continue (reject-all stops)
+    sel = ~np.isin(hits[:, 0], [2, 3])
+    assert np.all(max_hit[sel] == 0)
+
+
 def test_sampling_seeds_differ():
     eng, _, _ = tiny_engine()
     prompt = list(np.random.RandomState(2).randint(0, 64, size=10))
