@@ -18,15 +18,19 @@ verification branch exercises its accept path. Step compression is capped by
 GUESS_SIZE (= LEVEL-1 = 6), the same cap the reference has
 (decoding.py:1077-1084).
 
-Beyond the headline, the run reports driver-visible variants in ``detail``:
+Beyond the headline, the run reports driver-visible variants written to
+``data/bench_detail.json`` (stdout carries one compact line):
 
-  realistic_compression — same 1.1B architecture with the layer-weight scale
-      raised (on-chip-calibrated 0.036) so greedy decoding *deviates* from
-      the transition cycle at realistic rates: n-gram guesses miss, partial
-      prefixes are accepted, and the compression ratio lands in the
-      reference's claimed 1.5-2.3 band (reference README.md:90) instead of
-      at the cap. Measured at the demo config AND the reference's
-      recommended realistic config L5/W7/G7 (README.md:151).
+  realistic_compression — same 1.1B architecture with the layer-weight
+      scale raised (on-chip-calibrated 0.036) so greedy decoding *deviates*
+      from the transition cycle at realistic rates: n-gram guesses miss,
+      partial prefixes are accepted, and the compression ratio lands
+      MID-BAND (~1.8) in the reference's claimed 1.5-2.3 band (reference
+      README.md:90). Measured at the demo config and the autotuned winner;
+      plus the x-int8 cell and an f32 exactness-control run.
+  realistic_upper_band — noise 0.033: compression ~2.3, the TOP of the
+      reference's band (its code-workload regime). Same tuned/int8/f32
+      sub-rows. This is where the >=1.8x north-star number lives.
   int8_kv / int8_weights / int4_weights — quantized decode variants
       (BASELINE.json north star), each at its best measured kernel/fusion
       config with its own AR baseline from the same quantized model.
@@ -35,6 +39,8 @@ Beyond the headline, the run reports driver-visible variants in ``detail``:
       overheads. Weights are built pre-quantized leaf-by-leaf (a 13.5 GB
       bf16 7B tree plus its quantized copy would not fit the 16 GB chip).
   quant_ordering_3b — the same ordering at a 3B-class arch.
+  7b_bf16 — the full Llama-2-7B architecture in bf16 (13.5 GB; fits with a
+      512-slot KV budget after freeing every other tree), L5/W7/G7.
 
 Variants are time-budgeted (env LADE_BENCH_BUDGET_S, default 2100s): when
 the budget is exhausted remaining variants are recorded as "skipped" so the
@@ -68,7 +74,7 @@ import time
 import numpy as np
 
 T_START = time.time()
-BUDGET_S = float(os.environ.get("LADE_BENCH_BUDGET_S", "2100"))
+BUDGET_S = float(os.environ.get("LADE_BENCH_BUDGET_S", "2700"))
 # SMOKE mode: shrink every architecture so the FULL child control flow
 # (headline, realistic, quant variants, 7B/3B orderings, JSON assembly)
 # runs on CPU in minutes — protects real chip time from child-only bugs.
@@ -87,14 +93,16 @@ def log(*a):
 # ===========================================================================
 
 def build_predictable_model(seed=0, layer_scale=0.002, hidden=2048,
-                            inter=5632, layers=22, heads=32, kv_heads=4):
+                            inter=5632, layers=22, heads=32, kv_heads=4,
+                            dtype=None):
     """Synthetic-weight model (TinyLlama-1.1B arch by default) whose greedy
     continuations follow a token transition cycle. ``layer_scale`` controls
     how strongly the (random) transformer layers perturb the
     embedding-dominated residual stream: 0.002 keeps the transition
     deterministic (fidelity ~1.0, compression at the GUESS_SIZE cap);
     larger values make decoding context-dependent so n-gram guesses miss
-    at realistic rates."""
+    at realistic rates. ``dtype`` overrides bf16 (f32 for the exactness
+    forensics control runs)."""
     import jax
     import jax.numpy as jnp
     import lookaheaddecoding_tpu as lt
@@ -103,7 +111,7 @@ def build_predictable_model(seed=0, layer_scale=0.002, hidden=2048,
         vocab_size=32000, hidden_size=hidden, intermediate_size=inter,
         num_hidden_layers=layers, num_attention_heads=heads,
         num_key_value_heads=kv_heads,
-        max_position_embeddings=2048, dtype=jnp.bfloat16)
+        max_position_embeddings=2048, dtype=dtype or jnp.bfloat16)
     # Layer weights small enough that the residual stream stays dominated by
     # the token embedding (RMSNorm rescales block inputs to norm ~sqrt(h),
     # so layer contributions must be << embedding scale for the transition
@@ -112,8 +120,8 @@ def build_predictable_model(seed=0, layer_scale=0.002, hidden=2048,
 
     embed_np, head_np, nxt = _transition_embed_head(seed, hidden)
     h = mcfg.hidden_size
-    params["embed"] = jnp.asarray(embed_np * np.sqrt(h), jnp.bfloat16)
-    params["lm_head"] = jnp.asarray(head_np, jnp.bfloat16)
+    params["embed"] = jnp.asarray(embed_np * np.sqrt(h), mcfg.dtype)
+    params["lm_head"] = jnp.asarray(head_np, mcfg.dtype)
     return mcfg, params, nxt
 
 
@@ -135,15 +143,19 @@ def _transition_embed_head(seed, h, vocab=32000):
 
 def build_predictable_model_quantized(seed, bits, hidden, inter, layers,
                                       heads, kv_heads, layer_scale=0.002):
-    """Leaf-streamed PRE-QUANTIZED construction for 7B-class synthetic
-    models: each stacked projection is initialized and quantized in one
-    jitted pass and the bf16 temporary freed before the next leaf. Building
-    the full bf16 tree first (13.5 GB at 7B) alongside its quantized copy
-    would exceed the 16 GB chip; leaf streaming caps the transient at one
-    projection stack (~2.9 GB).
+    """Leaf-streamed construction for 7B-class synthetic models: each
+    stacked projection is initialized (and, for ``bits`` in (8, 4),
+    quantized) in one jitted pass and the temporary freed before the next
+    leaf. Building the full bf16 tree eagerly (13.5 GB at 7B) alongside a
+    quantized copy would exceed the 16 GB chip; leaf streaming caps the
+    transient at one projection stack (~2.9 GB). ``bits=None`` builds the
+    plain bf16 tree the same way (no fp32 temporaries materialize — the
+    normal/scale/cast chain fuses), which is how the 13.5 GB 7B bf16
+    variant fits the chip at all.
 
-    Produces exactly what ``quantize_params(init_params(...))`` would:
-    int8/int4 projection dicts, int8 lm_head, bf16 embed/norms."""
+    For quantized trees, produces exactly what
+    ``quantize_params(init_params(...))`` would: int8/int4 projection
+    dicts, int8 lm_head, bf16 embed/norms."""
     import jax
     import jax.numpy as jnp
     import lookaheaddecoding_tpu as lt
@@ -163,9 +175,9 @@ def build_predictable_model_quantized(seed, bits, hidden, inter, layers,
         def f(k):
             w = (jax.random.normal(k, shape, jnp.float32)
                  * layer_scale).astype(jnp.bfloat16)
-            return quantize_weight(w, bits)
+            return quantize_weight(w, bits) if bits else w
         out = f(key)
-        out["q" if "q" in out else "q4"].block_until_ready()
+        (out["q" if "q" in out else "q4"] if bits else out).block_until_ready()
         return out
 
     ks = jax.random.split(jax.random.PRNGKey(seed), 10)
@@ -188,8 +200,8 @@ def build_predictable_model_quantized(seed, bits, hidden, inter, layers,
         "final_norm": jnp.full((h,), off, jnp.bfloat16),
         # int8 lm_head even for int4 weights: best measured config
         # (scripts/int4_micro.py — the [H, V] matmul is XLA-fused at int8)
-        "lm_head": quantize_weight(
-            jnp.asarray(head_np, jnp.bfloat16), 8),
+        "lm_head": (quantize_weight(jnp.asarray(head_np, jnp.bfloat16), 8)
+                    if bits else jnp.asarray(head_np, jnp.bfloat16)),
     }
     if bits == 4:
         # fuse AFTER quantization: output-channel concat commutes with
@@ -202,6 +214,82 @@ def build_predictable_model_quantized(seed, bits, hidden, inter, layers,
 
 # scripts/apps call the builder under its original name
 build_predictable_tinyllama = build_predictable_model
+
+
+# ===========================================================================
+# Exactness forensics (VERDICT r3 #2): the realistic rows decode with
+# token_exact=False — quantify WHERE and WHY.
+# ===========================================================================
+
+def divergence_forensics(r_toks, rb_toks, mcfg, params, prompt_len):
+    """First index where the LADE and AR outputs diverge, plus the model's
+    teacher-forced top-2 logit margin at that position (conditioned on the
+    AR prefix, i.e. the AR path's own context). A margin within bf16
+    matmul reduction-order noise (~1e-2 x logit scale) demonstrates an
+    argmax TIE-FLIP — two decode paths disagreeing on a token the model
+    itself is indifferent about — rather than a decode bug."""
+    import jax.numpy as jnp
+    from lookaheaddecoding_tpu.models import llama
+
+    r_toks = np.asarray(r_toks)
+    rb_toks = np.asarray(rb_toks)
+    n = min(len(r_toks), len(rb_toks))
+    neq = np.nonzero(r_toks[:n] != rb_toks[:n])[0]
+    if len(neq) == 0:
+        return {"first_divergence_idx": None}
+    i = int(neq[0])
+    ctx = jnp.asarray(rb_toks[:i], jnp.int32)
+    m = max(int(-(-i // 128) * 128), 128)
+    k_cache, v_cache = llama.make_kv_cache(mcfg, m)
+    cos, sin = llama.rope_tables(mcfg, m)
+    col = jnp.arange(m)
+    pos = jnp.arange(i, dtype=jnp.int32)
+    mask = jnp.where(col[None, :] <= pos[:, None], 0.0, float("-inf"))
+    logits, _, _ = llama.forward(
+        params, mcfg, ctx, pos, k_cache, v_cache, jnp.int32(0), mask,
+        cos, sin, logits_rows=jnp.asarray([i - 1]))
+    row = np.asarray(logits[0], np.float32)
+    order = np.argsort(row)
+    top1, top2 = int(order[-1]), int(order[-2])
+    return {
+        "first_divergence_idx": i,
+        "tokens_into_generation": i - int(prompt_len),
+        "ar_token": int(rb_toks[i]),
+        "lade_token": int(r_toks[i]),
+        # teacher-forced: both decode paths' candidates should be the top-2
+        "top2_margin": round(float(row[top1] - row[top2]), 6),
+        "top1_abs": round(float(abs(row[top1])), 3),
+        "divergent_pair_is_top2": bool(
+            {top1, top2} == {int(rb_toks[i]), int(r_toks[i])}),
+    }
+
+
+def f32_control(seed, layer_scale, arch, tuned, n_new):
+    """Rerun the diverging configuration with f32 params AND
+    highest-precision matmuls: if the bf16 divergence is reduction-order
+    tie-flipping, the f32 run must be token-exact; if f32 still diverges,
+    it's a decode bug (VERDICT r3 #2 protocol)."""
+    import jax
+    import jax.numpy as jnp
+    import lookaheaddecoding_tpu as lt
+
+    old = jax.config.jax_default_matmul_precision
+    jax.config.update("jax_default_matmul_precision", "highest")
+    try:
+        mcfg, p32, nxt = build_predictable_model(
+            seed=seed, layer_scale=layer_scale, dtype=jnp.float32, **arch)
+        eng = lt.LookaheadEngine(
+            mcfg, p32, lt.LookaheadConfig(pool_from_prompt=True, **tuned),
+            lt.EngineConfig(max_seq_len=1024, prefill_chunk=128))
+        prompt = make_prompt(nxt)
+        r = eng.generate(prompt, n_new)
+        rb = eng.generate_baseline(prompt, n_new)
+        return {
+            "f32_token_exact": bool(np.array_equal(r.tokens, rb.tokens)),
+            "f32_compression_ratio": round(r.compression_ratio, 2),
+        }
+    finally:
+        jax.config.update("jax_default_matmul_precision", old)
 
 
 def make_prompt(nxt, start=0, n=64):
@@ -350,74 +438,140 @@ def main_child():
     def budget_left():
         return BUDGET_S - (time.time() - T_START)
 
-    # ---------------- realistic-compression variant ---------------------
-    # layer_scale 0.036 calibrated on-chip (scripts/calibrate_noisy.py) to
-    # land step compression in the reference's claimed 1.5-2.3 band
-    # (reference README.md:90) instead of at the GUESS_SIZE cap. Measured
-    # at TWO lookahead configs: the demo config (L7/W20/G20 — reuses the
-    # headline engine's compiled loops) and the best autotuned config at
-    # mid-band compression (see scripts/tune_realistic.py; falls back to
-    # the reference's recommended L5/W7/G7, reference README.md:151).
-    if budget_left() > 240:
+    # ---------------- realistic-compression variants ---------------------
+    # TWO on-chip-calibrated noise points inside the reference's claimed
+    # 1.5-2.3 compression band (reference README.md:90; calibration
+    # scripts/calibrate_noisy.py + scripts/probe_realistic_r4.py):
+    #   mid-band   scale 0.036 -> ratio ~1.8 (text-like workloads)
+    #   upper-band scale 0.033 -> ratio ~2.3 (the reference's code-
+    #              workload regime, where its 2.3x wins live)
+    # Each band runs the committed tuned W/N/G winner (library autotune
+    # artifact, scripts/tune_realistic.py --noisy-scale ...); mid-band also
+    # runs the demo config for round continuity. The deployment-shaped
+    # realistic x int8 cell (VERDICT r3 #1) is measured per band against
+    # its OWN int8 AR baseline. Non-token-exact rows carry divergence
+    # forensics, and each band gets an f32+highest-precision control run
+    # (VERDICT r3 #2).
+    def tuned_cfg_from(fname, default, env=None):
+        if env and os.environ.get(env):
+            return json.loads(os.environ[env])
+        tpath = os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "data", fname)
         try:
-            _, noisy_params, nxt2 = build_predictable_model(
-                seed=1, layer_scale=float(
-                    os.environ.get("LADE_BENCH_NOISY_SCALE", "0.036")),
-                **arch_headline)
-            p2 = make_prompt(nxt2)
-            rc = {"noisy_scale": float(
-                os.environ.get("LADE_BENCH_NOISY_SCALE", "0.036"))}
+            with open(tpath) as f:
+                w = json.load(f)["results"][0]
+            tuned = {k: w[k] for k in
+                     ("level", "window_size", "guess_set_size")}
+            if w.get("pool_key_len", 1) != 1:
+                tuned["pool_key_len"] = w["pool_key_len"]
+            if w.get("attention_impl"):
+                tuned["attention_impl"] = w["attention_impl"]
+            return tuned
+        except (OSError, KeyError, IndexError, ValueError):
+            return default
+
+    def fidelity(res, r, nxt_map):
+        toks = r.tokens
+        fid = np.mean([toks[i + 1] == nxt_map[toks[i]]
+                       for i in range(63, len(toks) - 1)])
+        res["transition_fidelity"] = round(float(fid), 3)
+
+    def attach_forensics(res, r, rb, mc, p):
+        if not res.get("token_exact") and "error" not in res:
+            try:
+                res["forensics"] = divergence_forensics(
+                    r.tokens, rb.tokens, mc, p, r.prompt_len)
+            except Exception as e:  # pragma: no cover - bench resilience
+                res["forensics"] = {"error": str(e)[:200]}
+
+    def realistic_band(scale, tune_artifact, default_cfg, label,
+                       demo_config=False, int8_artifact=None,
+                       int8_default=None):
+        rc = {"noisy_scale": scale}
+        _, noisy_params, nxt2 = build_predictable_model(
+            seed=1, layer_scale=scale, **arch_headline)
+        p2 = make_prompt(nxt2)
+        if demo_config and budget_left() > 240:
+            # demo config reuses the headline engine's compiled loops
             eng.params = noisy_params
-            res, rr, _ = run_pair(eng, p2, N_NEW, "realistic L7W20G20")
-            toks = rr.tokens
-            fid = np.mean([toks[i + 1] == nxt2[toks[i]]
-                           for i in range(63, len(toks) - 1)])
-            res["transition_fidelity"] = round(float(fid), 3)
+            res, rr, rbb = run_pair(eng, p2, N_NEW, f"{label} L7W20G20")
+            fidelity(res, rr, nxt2)
+            attach_forensics(res, rr, rbb, mcfg, noisy_params)
             rc["demo_config_L7W20G20"] = res
             eng.params = params
-            if budget_left() > 240:
-                # tuned config priority: env override > committed sweep
-                # winner (scripts/tune_realistic.py artifact) > the
-                # reference's recommended L5/W7/G7 (README.md:151)
-                tuned = None
-                if os.environ.get("LADE_BENCH_REALISTIC_CFG"):
-                    tuned = json.loads(os.environ["LADE_BENCH_REALISTIC_CFG"])
-                else:
-                    tpath = os.path.join(os.path.dirname(
-                        os.path.abspath(__file__)), "data",
-                        "tune_realistic.json")
-                    try:
-                        with open(tpath) as f:
-                            w = json.load(f)["results"][0]
-                        tuned = {k: w[k] for k in
-                                 ("level", "window_size", "guess_set_size")}
-                        if w.get("pool_key_len", 1) != 1:
-                            tuned["pool_key_len"] = w["pool_key_len"]
-                        if w.get("attention_impl"):
-                            tuned["attention_impl"] = w["attention_impl"]
-                    except (OSError, KeyError, IndexError, ValueError):
-                        pass
-                if tuned is None:
-                    tuned = {"level": 5, "window_size": 7,
-                             "guess_set_size": 7}
-                eng7 = lt.LookaheadEngine(
-                    mcfg, noisy_params,
-                    lt.LookaheadConfig(pool_from_prompt=True, **tuned),
+        tuned = tuned_cfg_from(tune_artifact, default_cfg,
+                               env="LADE_BENCH_REALISTIC_CFG")
+        name = (f"L{tuned['level']}W{tuned['window_size']}"
+                f"G{tuned['guess_set_size']}")
+        if budget_left() > 240:
+            engt = lt.LookaheadEngine(
+                mcfg, noisy_params,
+                lt.LookaheadConfig(pool_from_prompt=True, **tuned),
+                lt.EngineConfig(max_seq_len=1024, prefill_chunk=128))
+            res7, r7, rb7 = run_pair(engt, p2, N_NEW, f"{label} {name}")
+            res7["config"] = tuned
+            fidelity(res7, r7, nxt2)
+            attach_forensics(res7, r7, rb7, mcfg, noisy_params)
+            rc["tuned_config"] = res7
+            del engt
+        # realistic x int8: its own tuned config (the int8 step economics
+        # shift the W/G optimum), int8 weights + int8 lm_head, speedup vs
+        # its OWN int8 AR baseline (VERDICT r3 #1)
+        if budget_left() > 240:
+            try:
+                from lookaheaddecoding_tpu.ops.quant import quantize_params
+                tuned8 = tuned_cfg_from(int8_artifact or tune_artifact,
+                                        int8_default or tuned)
+                n8 = (f"L{tuned8['level']}W{tuned8['window_size']}"
+                      f"G{tuned8['guess_set_size']}")
+                p8 = quantize_params(noisy_params, bits=8,
+                                     quantize_lm_head=True, lm_head_bits=8)
+                eng8 = lt.LookaheadEngine(
+                    mcfg, p8,
+                    lt.LookaheadConfig(pool_from_prompt=True, **tuned8),
                     lt.EngineConfig(max_seq_len=1024, prefill_chunk=128))
-                res7, _, _ = run_pair(
-                    eng7, p2, N_NEW,
-                    f"realistic L{tuned['level']}W{tuned['window_size']}"
-                    f"G{tuned['guess_set_size']}")
-                res7["config"] = tuned
-                rc["tuned_config"] = res7
-                del eng7
-            variants["realistic_compression"] = rc
-        except Exception as e:  # pragma: no cover - bench resilience
-            variants["realistic_compression"] = {"error": str(e)[:200]}
-        finally:
-            eng.params = params
-    else:
-        variants["realistic_compression"] = "skipped (budget)"
+                res8, r8, rb8 = run_pair(eng8, p2, N_NEW,
+                                         f"{label} int8 {n8}")
+                res8["config"] = tuned8
+                fidelity(res8, r8, nxt2)
+                attach_forensics(res8, r8, rb8, mcfg, p8)
+                rc["tuned_int8"] = res8
+                del eng8, p8
+            except Exception as e:  # pragma: no cover - bench resilience
+                rc["tuned_int8"] = {"error": str(e)[:200]}
+        # f32 + highest-precision control (VERDICT r3 #2): must be
+        # token-exact if the bf16 divergence is reduction-order tie-flips
+        if budget_left() > 300:
+            try:
+                rc["f32_control"] = f32_control(
+                    1, scale, arch_headline, tuned, N_NEW)
+            except Exception as e:  # pragma: no cover - bench resilience
+                rc["f32_control"] = {"error": str(e)[:200]}
+        del noisy_params
+        return rc
+
+    NOISY_MID = float(os.environ.get("LADE_BENCH_NOISY_SCALE", "0.036"))
+    NOISY_HI = float(os.environ.get("LADE_BENCH_NOISY_SCALE_HI", "0.033"))
+    for key, scale, artifact, default_cfg, demo, art8, def8 in (
+        ("realistic_compression", NOISY_MID, "tune_realistic_036_r4.json",
+         {"level": 5, "window_size": 4, "guess_set_size": 10}, True,
+         None, None),
+        ("realistic_upper_band", NOISY_HI, "tune_realistic_033.json",
+         {"level": 5, "window_size": 3, "guess_set_size": 8}, False,
+         "tune_realistic_033_int8.json",
+         {"level": 5, "window_size": 4, "guess_set_size": 6}),
+    ):
+        if budget_left() > 300:
+            try:
+                variants[key] = realistic_band(
+                    scale, artifact, default_cfg, key, demo_config=demo,
+                    int8_artifact=art8, int8_default=def8)
+            except Exception as e:  # pragma: no cover - bench resilience
+                variants[key] = {"error": str(e)[:200]}
+            finally:
+                eng.params = params
+        else:
+            variants[key] = "skipped (budget)"
 
     # ---------------- quantized variants --------------------------------
     # Each runs its best measured configuration (scripts/int4_sweep*.py):
@@ -508,6 +662,39 @@ def main_child():
                        **arch_3b)
     else:
         variants["quant_ordering_3b"] = "skipped (budget)"
+
+    # ---------------- 7B bf16 end-to-end (VERDICT r3 #4) -----------------
+    # The Llama-2-7B architecture in bf16 is 13.5 GB: it fits the 16 GB
+    # chip only with a small KV budget (max_seq_len 512 -> 537 MB of
+    # caches) and with every other param tree freed first — hence LAST in
+    # the variant order, after which `params`/`eng` are gone. Leaf-streamed
+    # bf16 construction (the fused normal*scale->bf16 init never
+    # materializes fp32 temporaries).
+    if budget_left() > 420:
+        try:
+            import gc
+            del eng
+            params = None
+            gc.collect()
+            mc, bp, nx = build_predictable_model_quantized(
+                seed=3, bits=None, **arch_7b)
+            pr = make_prompt(nx)
+            e7 = lt.LookaheadEngine(
+                mc, bp,
+                lt.LookaheadConfig(level=5, window_size=7,
+                                   guess_set_size=7, pool_from_prompt=True),
+                lt.EngineConfig(max_seq_len=512, prefill_chunk=128))
+            del bp
+            gc.collect()
+            res, r7, rb7 = run_pair(e7, pr, N_NEW, "7b_bf16 L5W7G7")
+            attach_forensics(res, r7, rb7, mc, e7.params)
+            variants["7b_bf16"] = res
+            del e7
+            gc.collect()
+        except Exception as ex:  # pragma: no cover - bench resilience
+            variants["7b_bf16"] = {"error": str(ex)[:300]}
+    else:
+        variants["7b_bf16"] = "skipped (budget)"
 
     detail["variants"] = variants
     speedup = headline["speedup"]
