@@ -81,6 +81,10 @@ class GenerationResult:
     wall_time_s: float = 0.0
     request_id: object = None   # set by the continuous-batching scheduler
     error: Optional[str] = None  # set when a request fails admission
+    # Serving latency accounting (set by ContinuousBatchingEngine):
+    # time from submit to the first confirmed new token / to completion.
+    ttft_s: Optional[float] = None
+    latency_s: Optional[float] = None
 
     @property
     def new_tokens(self) -> np.ndarray:

@@ -107,6 +107,7 @@ class ContinuousBatchingEngine:
         self._vstep = jax.jit(multi_step, donate_argnums=(1,))
         self._temp = np.ones((num_lanes,), np.float32)
         self._topp = np.ones((num_lanes,), np.float32)
+        self._first_tok: Dict[int, float] = {}   # lane -> first-token time
 
         def insert_lane(batched, lane_state, lane):
             return jax.tree.map(
@@ -119,13 +120,16 @@ class ContinuousBatchingEngine:
         self._max_new = np.zeros((num_lanes,), np.int32)
         self._eos = np.full((num_lanes, MAX_EOS_IDS), -1, np.int32)
         self._active: Dict[int, Request] = {}
-        self._queue: Deque[Request] = deque()
+        self._queue: Deque = deque()           # (Request, t_submit) pairs
         self._results: List[GenerationResult] = []
-        self._t0: Dict[int, float] = {}
+        self._t0: Dict[int, float] = {}        # lane -> admission time
+        self._submit_t: Dict[int, float] = {}  # lane -> submit time
 
     # ------------------------------------------------------------------
     def submit(self, request: Request) -> None:
-        self._queue.append(request)
+        """Enqueue; the submit timestamp anchors the request's TTFT and
+        end-to-end latency (GenerationResult.ttft_s / latency_s)."""
+        self._queue.append((request, time.perf_counter()))
 
     def _ensure_batched(self):
         if self._batched is None:
@@ -144,7 +148,7 @@ class ContinuousBatchingEngine:
                 break
             if lane in self._active or not finished[lane]:
                 continue
-            req = self._queue.popleft()
+            req, t_submit = self._queue.popleft()
             try:
                 # validate EVERYTHING before touching lane state so a bad
                 # request fails alone instead of killing the scheduler
@@ -171,6 +175,8 @@ class ContinuousBatchingEngine:
                 self._fail(req, e)
                 continue
             self._t0[lane] = time.perf_counter()
+            self._submit_t[lane] = t_submit
+            self._first_tok.pop(lane, None)
             self._batched = self._insert(self._batched, state, lane)
             self._max_new[lane] = req.max_new_tokens
             self._eos[lane] = eos
@@ -179,24 +185,40 @@ class ContinuousBatchingEngine:
                 self._topp[lane] = topp
             self._active[lane] = req
 
-    def _harvest(self) -> None:
-        finished = np.asarray(self._batched.finished)
+    def _observe(self) -> tuple:
+        """ONE batched readback of the per-lane scheduling scalars after a
+        sync; records each active lane's first-token time (granularity =
+        steps_per_sync decode steps, the scheduler's own sync cadence)."""
+        finished, n_confirmed, init_len = jax.device_get(
+            (self._batched.finished, self._batched.n_confirmed,
+             self._batched.init_len))
+        now = time.perf_counter()
+        for lane in self._active:
+            if (lane not in self._first_tok
+                    and n_confirmed[lane] > init_len[lane]):
+                self._first_tok[lane] = now
+        return np.asarray(finished), np.asarray(n_confirmed), \
+            np.asarray(init_len)
+
+    def _harvest(self, finished, n_confirmed, init_len) -> None:
         done = [l for l in list(self._active) if finished[l]]
         if not done:
             return
-        n_confirmed = np.asarray(self._batched.n_confirmed)
-        init_len = np.asarray(self._batched.init_len)
         steps = np.asarray(self._batched.step_idx)
         out_buf = np.asarray(self._batched.out_buf)   # single transfer
+        now = time.perf_counter()
         for lane in done:
             req = self._active.pop(lane)
             total = min(int(n_confirmed[lane]),
                         int(init_len[lane]) + req.max_new_tokens)
+            t_submit = self._submit_t.pop(lane)
             res = GenerationResult(
                 tokens=out_buf[lane, :total].copy(),
                 prompt_len=int(init_len[lane]),
                 steps=int(steps[lane]),
-                wall_time_s=time.perf_counter() - self._t0.pop(lane),
+                wall_time_s=now - self._t0.pop(lane),
+                ttft_s=self._first_tok.pop(lane, now) - t_submit,
+                latency_s=now - t_submit,
             )
             res.request_id = req.request_id
             self._results.append(res)
@@ -218,9 +240,11 @@ class ContinuousBatchingEngine:
         if not self._queue:
             return False
         if self.batch_group > 1:
-            group = []
+            group, submits = [], []
             while self._queue and len(group) < self.batch_group:
-                group.append(self._queue.popleft())
+                r, t = self._queue.popleft()
+                group.append(r)
+                submits.append(t)
             try:
                 keys = {(r.max_new_tokens,
                          tuple(np.ravel(_eos_vec(r.eos_token_id))))
@@ -240,19 +264,24 @@ class ContinuousBatchingEngine:
                         group[0].max_new_tokens,
                         eos_token_id=group[0].eos_token_id,
                         seeds=[r.seed for r in group])
-                    for r, o in zip(group, outs):
+                    now = time.perf_counter()
+                    for r, o, t in zip(group, outs, submits):
                         o.request_id = r.request_id
+                        # fused generate: the whole output lands at once,
+                        # so TTFT == end-to-end latency (the honest cost of
+                        # the throughput objective)
+                        o.latency_s = o.ttft_s = now - t
                         self._results.append(o)
                     return bool(self._queue)
                 except ValueError:
                     pass     # fall through: run the group one by one so a
                              # single bad request fails alone
             # run 1-by-1: re-queue the tail, process the head this step
-            for r in reversed(group[1:]):
-                self._queue.appendleft(r)
-            req = group[0]
+            for r, t in reversed(list(zip(group[1:], submits[1:]))):
+                self._queue.appendleft((r, t))
+            req, t_submit = group[0], submits[0]
         else:
-            req = self._queue.popleft()
+            req, t_submit = self._queue.popleft()
         try:
             if self.sampling is None:
                 if req.temperature is not None or req.top_p is not None:
@@ -278,6 +307,7 @@ class ContinuousBatchingEngine:
             self._fail(req, e)
             return bool(self._queue)
         res.request_id = req.request_id
+        res.latency_s = res.ttft_s = time.perf_counter() - t_submit
         self._results.append(res)
         return bool(self._queue)
 
@@ -295,7 +325,7 @@ class ContinuousBatchingEngine:
             self.engine.params, self._batched,
             jnp.asarray(self._max_new), jnp.asarray(self._eos),
             jnp.asarray(self._temp), jnp.asarray(self._topp))
-        self._harvest()
+        self._harvest(*self._observe())
         return bool(self._active or self._queue)
 
     def run(self, requests: Sequence[Request]) -> List[GenerationResult]:

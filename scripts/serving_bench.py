@@ -1,20 +1,25 @@
-"""Continuous-batching throughput benchmark on the real chip.
+"""Continuous-batching throughput AND latency benchmark on the real chip.
 
-Measures aggregate tok/s/chip for N requests under THREE schedulers:
+Measures, for N requests submitted at once, under THREE schedulers:
 
   1. raw sequential loop over ``LookaheadEngine.generate`` (no scheduler)
   2. ContinuousBatchingEngine(objective="throughput") — queue + fused
      sequential generates (optionally --batch-group)
   3. ContinuousBatchingEngine(objective="fairness") — the lane scheduler
 
-On one chip each lookahead lane is a full composite of MXU work, so (2)
-should match (1) within noise and beat (3) on aggregate tok/s; (3) wins
-time-to-first-token/fairness only.
+per scheduler: aggregate tok/s, and the per-request TTFT and end-to-end
+latency distributions (mean / p50 / p99, measured from submit). On one
+chip each lookahead lane is a full composite of MXU work, so (2) should
+match (1) within noise and beat (3) on aggregate tok/s; what (3) buys for
+that cost is exactly the TTFT/tail-latency numbers this script reports —
+sequential draining gives queue-position TTFT (mean ~= half the batch
+makespan) while lanes start every admitted request within steps_per_sync
+decode steps.
 
     python scripts/serving_bench.py [--lanes 4] [--requests 16] [--new 128]
         [--steps-per-sync 8] [--sampling] [--batch-group 1]
 
-Prints one JSON line to stdout.
+Prints one JSON line to stdout (full detail to data/serving_latency.json).
 """
 
 import argparse
@@ -76,6 +81,20 @@ def main():
 
     sampling = lt.SamplingConfig(temperature=0.8) if args.sampling else None
 
+    def lat_stats(ttfts, lats):
+        return {
+            "ttft_mean_s": round(float(np.mean(ttfts)), 3),
+            "ttft_p50_s": round(float(np.percentile(ttfts, 50)), 3),
+            "ttft_p99_s": round(float(np.percentile(ttfts, 99)), 3),
+            "latency_mean_s": round(float(np.mean(lats)), 3),
+            "latency_p50_s": round(float(np.percentile(lats, 50)), 3),
+            "latency_p99_s": round(float(np.percentile(lats, 99)), 3),
+        }
+
+    def sched_stats(results):
+        ok = [r for r in results if r.latency_s is not None]
+        return lat_stats([r.ttft_s for r in ok], [r.latency_s for r in ok])
+
     # --- sequential reference
     gen = (lambda p: eng.generate_sample(p, args.new, sampling)) \
         if args.sampling else (lambda p: eng.generate(p, args.new))
@@ -84,10 +103,17 @@ def main():
     gen(prompts[0])
     log(f"  compile+warm: {time.time()-t0:.1f}s")
     t0 = time.time()
-    seq_tokens = sum(gen(p).num_generated for p in prompts)
+    seq_tokens = 0
+    seq_lats = []
+    for p in prompts:
+        seq_tokens += gen(p).num_generated
+        # all requests "submitted" at t0: request i waits for 0..i-1
+        seq_lats.append(time.time() - t0)
     seq_s = time.time() - t0
     seq_tps = seq_tokens / seq_s
-    log(f"  sequential: {seq_tokens} tok in {seq_s:.2f}s = {seq_tps:.1f} tok/s")
+    seq_stats = lat_stats(seq_lats, seq_lats)   # fused: TTFT == latency
+    log(f"  sequential: {seq_tokens} tok in {seq_s:.2f}s = {seq_tps:.1f} "
+        f"tok/s  {seq_stats}")
 
     # --- throughput objective (queue + fused sequential generates)
     thr = ContinuousBatchingEngine(
@@ -108,8 +134,9 @@ def main():
     thr_s = time.time() - t0
     thr_tokens = sum(r.num_generated for r in results_t)
     thr_tps = thr_tokens / thr_s
+    thr_stats = sched_stats(results_t)
     log(f"  serving[throughput, group={args.batch_group}]: {thr_tokens} tok "
-        f"in {thr_s:.2f}s = {thr_tps:.1f} tok/s")
+        f"in {thr_s:.2f}s = {thr_tps:.1f} tok/s  {thr_stats}")
 
     # --- fairness objective (lane scheduler)
     srv = ContinuousBatchingEngine(
@@ -126,28 +153,39 @@ def main():
     srv_s = time.time() - t0
     srv_tokens = sum(r.num_generated for r in results)
     srv_tps = srv_tokens / srv_s
+    srv_stats = sched_stats(results)
     log(f"  serving[fairness, {args.lanes} lanes]: {srv_tokens} tok "
-        f"in {srv_s:.2f}s = {srv_tps:.1f} tok/s")
+        f"in {srv_s:.2f}s = {srv_tps:.1f} tok/s  {srv_stats}")
 
     best = max(thr_tps, srv_tps)
-    print(json.dumps({
+    out = {
         "metric": "serving_best_aggregate_tokens_per_sec",
         "value": round(best, 1),
         "unit": "tok/s",
         "vs_baseline": round(best / seq_tps, 3),
         "detail": {
-            "sequential_tok_per_sec": round(seq_tps, 1),
-            "throughput_objective_tok_per_sec": round(thr_tps, 1),
-            "fairness_objective_tok_per_sec": round(srv_tps, 1),
+            "sequential": {"tok_per_sec": round(seq_tps, 1), **seq_stats},
+            "throughput_objective": {"tok_per_sec": round(thr_tps, 1),
+                                     **thr_stats},
+            "fairness_objective": {"tok_per_sec": round(srv_tps, 1),
+                                   **srv_stats},
             "batch_group": args.batch_group,
             "lanes": args.lanes,
             "requests": args.requests,
+            "new_tokens": args.new,
             "steps_per_sync": args.steps_per_sync,
             "sampling": bool(args.sampling),
             "mean_compression": round(
                 float(np.mean([r.compression_ratio for r in results])), 2),
         },
-    }))
+    }
+    os.makedirs(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "data"), exist_ok=True)
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "data",
+            "serving_latency.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

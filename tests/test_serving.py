@@ -41,6 +41,32 @@ def test_continuous_batching_matches_individual():
         np.testing.assert_array_equal(by_id[i].tokens, s.tokens)
 
 
+def test_latency_accounting_fields():
+    """Every completed request carries TTFT and end-to-end latency anchored
+    at submit time, under both objectives; TTFT never exceeds latency, and
+    the fairness scheduler records a first-token time strictly before
+    completion for multi-step requests."""
+    eng = tiny_engine()
+    rng = np.random.RandomState(7)
+    prompts = [list(rng.randint(0, 128, size=10)) for _ in range(4)]
+    for kwargs in (dict(objective="fairness", num_lanes=2,
+                        steps_per_sync=1),
+                   dict(objective="throughput"),
+                   dict(objective="throughput", batch_group=2)):
+        srv = ContinuousBatchingEngine(eng, **kwargs)
+        results = srv.run([Request(p, 24, seed=i, request_id=i)
+                           for i, p in enumerate(prompts)])
+        assert len(results) == 4
+        for r in results:
+            assert r.error is None
+            assert r.ttft_s is not None and r.latency_s is not None
+            assert 0 < r.ttft_s <= r.latency_s + 1e-9
+        if kwargs["objective"] == "fairness":
+            # steps_per_sync=1: first token lands on the first sync, well
+            # before a 24-token completion
+            assert all(r.ttft_s < r.latency_s for r in results)
+
+
 def test_bad_request_fails_gracefully_without_killing_lanes():
     eng = tiny_engine()
     rng = np.random.RandomState(5)
