@@ -77,9 +77,19 @@ def row(label, arch, lcfg, tok_s, compression, wbits=16, lm_bits=None,
 
 
 def from_bench_json(path):
+    import os
     with open(path) as f:
         data = json.load(f)
     data = data.get("parsed") or data     # driver BENCH_rNN.json wrapper
+    if "detail_file" in data and "detail" not in data:
+        # round-4 compact stdout line: full detail lives in a side file
+        dpath = os.path.join(os.path.dirname(os.path.abspath(path)),
+                             data["detail_file"])
+        if not os.path.exists(dpath):
+            dpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "..", data["detail_file"])
+        with open(dpath) as f:
+            data = json.load(f)
     d = data.get("detail", data)
     rows = []
 
@@ -95,16 +105,23 @@ def from_bench_json(path):
 
     pair("headline bf16 L7/W20/G20", d, "1.1b", (7, 20, 20))
     v = d.get("variants", {})
-    rc = v.get("realistic_compression", {})
-    if isinstance(rc, dict):
-        pair("realistic L7/W20/G20", rc.get("demo_config_L7W20G20"),
+    for band, bname in (("realistic_compression", "realistic-mid"),
+                        ("realistic_upper_band", "realistic-upper")):
+        rc = v.get(band, {})
+        if not isinstance(rc, dict):
+            continue
+        pair(f"{bname} L7/W20/G20", rc.get("demo_config_L7W20G20"),
              "1.1b", (7, 20, 20))
-        t = rc.get("tuned_config")
-        if isinstance(t, dict) and "config" in t:
-            c = t["config"]
-            pair(f"realistic tuned L{c['level']}/W{c['window_size']}"
-                 f"/G{c['guess_set_size']}", t, "1.1b",
-                 (c["level"], c["window_size"], c["guess_set_size"]))
+        for sub, wb, lb in (("tuned_config", 16, None),
+                            ("tuned_int8", 8, 8)):
+            t = rc.get(sub)
+            if isinstance(t, dict) and "config" in t:
+                c = t["config"]
+                tag = "int8 " if wb == 8 else ""
+                pair(f"{bname} {tag}tuned L{c['level']}/W{c['window_size']}"
+                     f"/G{c['guess_set_size']}", t, "1.1b",
+                     (c["level"], c["window_size"], c["guess_set_size"]),
+                     wbits=wb, lm_bits=lb)
     pair("int8_kv L7/W20/G20", v.get("int8_kv"), "1.1b", (7, 20, 20),
          kv_bytes=1)
     pair("int8 L7/W20/G20", v.get("int8_weights"), "1.1b", (7, 20, 20),
@@ -117,6 +134,7 @@ def from_bench_json(path):
             for nm, wb in (("int4", 4), ("int8", 8)):
                 pair(f"{scale} {nm} L5/W7/G7", q.get(nm), scale, (5, 7, 7),
                      wbits=wb, lm_bits=8)
+    pair("7b bf16 L5/W7/G7", v.get("7b_bf16"), "7b", (5, 7, 7))
     return rows
 
 
