@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -496,6 +497,17 @@ def forward(
                 vv = qmatmul(y, p["wv"])
                 if cfg.attention_bias:
                     q, k, vv = q + p["bq"], k + p["bk"], vv + p["bv"]
+            if os.environ.get("LADE_QKV_BARRIER", "1") != "0":
+                # Layout firewall (default on; LADE_QKV_BARRIER=0 disables):
+                # without it XLA's layout assignment propagates the
+                # RoPE/attention reshape preference backward through the
+                # q/k/v dots and materializes TRANSPOSED copies of the
+                # whole stacked projection weights as program temps —
+                # 3 x 1 GiB at Llama-7B MHA, the difference between the
+                # 13.5 GB bf16 7B fitting a 16 GB chip (temp 0.33 GiB)
+                # and OOMing (temp 3.26 GiB). Measured perf-neutral at
+                # 1.1B (LADE 865.5 vs 865.4 tok/s, AR 301.3 vs 300.8).
+                q, k, vv = jax.lax.optimization_barrier((q, k, vv))
             q = q.reshape(t, hq, d)
             k = k.reshape(t, hkv, d)
             vv = vv.reshape(t, hkv, d)
