@@ -139,6 +139,12 @@ INT4_PIPELINE = os.environ.get("LADE_INT4_PIPELINE", "0") != "0"
 INT4_UNPACK_BITS = int(os.environ.get("LADE_INT4_UNPACK_BITS", "32"))
 
 
+# int8 matmul implementation: "xla" (default) relies on XLA fusing the
+# int8->bf16 convert into the MXU operand load; "kernel" routes through
+# the Pallas int8 kernel (in-kernel convert + epilogue scale) — measured
+# per-shape before switching any default.
+INT8_IMPL = os.environ.get("LADE_INT8_IMPL", "xla")
+
 # int4 matmul implementation: "kernel" = fused Pallas unpack-matmul;
 # "bitcast" = XLA-native s4 operands (bitcast the packed bytes to
 # jnp.int4 nibble planes and let XLA fuse the s4->bf16 convert into the
@@ -186,6 +192,11 @@ def qmatmul(x: jax.Array, w, dtype=None) -> jax.Array:
     if not isinstance(w, dict):
         return x @ w
     dtype = dtype or x.dtype
+    if "q" in w and INT8_IMPL == "kernel":
+        from .quant_matmul import int8_matmul, int8_matmul_supported
+        if (jax.default_backend() != "cpu"
+                and int8_matmul_supported(x.shape[-1], w["q"].shape)):
+            return int8_matmul(x, w["q"], w["scale"])
     if "q4" in w and INT4_IMPL == "bitcast":
         return _int4_bitcast_matmul(x, w, dtype)
     if "q4" in w and INT4_KERNEL_ENABLED and INT4_IMPL == "kernel":

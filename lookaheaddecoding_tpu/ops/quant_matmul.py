@@ -266,6 +266,82 @@ def int4_matmul(
     return out[:t]
 
 
+def _int8_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, n_kblocks):
+    kb = pl.program_id(1)
+
+    @pl.when(kb == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[...]                                       # [T, BK]
+    w = q_ref[...].astype(x.dtype)                       # int8 -> bf16/f32
+    acc_ref[...] += jax.lax.dot_general(
+        x, w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(kb == n_kblocks - 1)
+    def _finalize():
+        o_ref[...] = (acc_ref[...] * s_ref[...]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "block_k",
+                                             "interpret"))
+def int8_matmul(
+    x: jax.Array,        # [T, K] activations
+    q: jax.Array,        # [K, N] int8 weights
+    scale: jax.Array,    # [1, N] fp32 per-output-channel scales
+    block_n: int = 0,
+    block_k: int = 0,
+    interpret: bool = False,
+) -> jax.Array:
+    """x @ (q * scale) with the int8->bf16 convert inside the kernel and
+    the scale applied once at the K-accumulation epilogue.
+
+    Rationale: the XLA int8 path leaves measurable bandwidth on the table
+    at large K*N (7B decode shapes) — the convert is cheap (1 VPU op/byte,
+    well under v5e's ~4.7 ops/byte VPU:HBM breakeven, unlike int4's ~6)
+    but XLA's epilogue scheduling stalls the weight stream. Same blocking
+    strategy as the int4 kernel: fewest, largest lane-aligned blocks."""
+    t, k = x.shape
+    kq, n = q.shape
+    assert kq == k, "weight packed for a different K"
+    block_n = block_n or _pick_block(n, cap=CAP_N)
+    block_k = block_k or _pick_block(k, cap=2 * CAP_K, floor=256)
+    assert block_n and block_k, "untileable shapes; use the XLA fallback"
+    n_kblocks = k // block_k
+    t_pad = -(-t // 8) * 8
+    if t_pad != t:
+        x = jnp.pad(x, ((0, t_pad - t), (0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(_int8_kernel, n_kblocks=n_kblocks),
+        grid=(n // block_n, n_kblocks),
+        in_specs=[
+            pl.BlockSpec((t_pad, block_k), lambda nb, kb: (0, kb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_k, block_n), lambda nb, kb: (kb, nb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda nb, kb: (0, nb),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((t_pad, block_n), lambda nb, kb: (0, nb),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t_pad, n), x.dtype),
+        scratch_shapes=[pltpu.VMEM((t_pad, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interpret,
+    )(x, q, scale)
+    return out[:t]
+
+
+def int8_matmul_supported(k: int, q_shape) -> bool:
+    kq, n = q_shape
+    return (kq == k
+            and _pick_block(k, cap=2 * CAP_K, floor=256) != 0
+            and _pick_block(n, cap=CAP_N) != 0)
+
+
 def int4_matmul_supported(k: int, q4_shape, logical_k2=None) -> bool:
     """Whether the kernel can run x[..., k] @ q4. ``logical_k2`` is the
     weight's pre-padding packed-row count (quant.logical_packed_rows):

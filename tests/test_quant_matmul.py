@@ -54,6 +54,38 @@ def test_int4_matmul_multi_nblock_pipeline():
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("t,k,n", [(1, 512, 256), (17, 512, 512),
+                                   (56, 1024, 256)])
+def test_int8_matmul_matches_dequant_path(t, k, n):
+    from lookaheaddecoding_tpu.ops.quant_matmul import (
+        int8_matmul, int8_matmul_supported)
+    rng = np.random.RandomState(t)
+    x = jnp.asarray(rng.randn(t, k).astype(np.float32))
+    w = rng.randn(k, n).astype(np.float32) * 0.2
+    wq = quantize_weight(w, bits=8)
+    assert int8_matmul_supported(k, wq["q"].shape)
+    ref = x @ dequantize_weight(wq, dtype=jnp.float32)
+    out = int8_matmul(x, wq["q"], wq["scale"], interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_int8_impl_env_dispatch(monkeypatch):
+    """LADE_INT8_IMPL=kernel routes qmatmul through the Pallas int8 path
+    (on non-CPU backends; CPU falls through to dequant — asserted by the
+    dispatch staying numerically correct either way)."""
+    from lookaheaddecoding_tpu.ops import quant
+    rng = np.random.RandomState(5)
+    k, n = 512, 256
+    x = jnp.asarray(rng.randn(4, k).astype(np.float32))
+    wq = quantize_weight(rng.randn(k, n).astype(np.float32) * 0.2, bits=8)
+    ref = x @ dequantize_weight(wq, dtype=jnp.float32)
+    monkeypatch.setattr(quant, "INT8_IMPL", "kernel")
+    out = quant.qmatmul(x, wq, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_supported_predicate():
     assert int4_matmul_supported(512, (256, 256))
     assert not int4_matmul_supported(512, (256, 100))   # N not tiled
