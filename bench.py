@@ -365,6 +365,10 @@ def emit(value, detail):
         if isinstance(v, dict):
             if "speedup" in v:
                 return v["speedup"]
+            if "f32_token_exact" in v:
+                return f"f32_exact={v['f32_token_exact']}"
+            if "error" in v:
+                return "error: " + str(v["error"])[:80]
             return {k: brief(x) for k, x in v.items()
                     if isinstance(x, (dict, str))}
         return v if isinstance(v, str) else None
