@@ -305,9 +305,17 @@ def int8_matmul(
     t, k = x.shape
     kq, n = q.shape
     assert kq == k, "weight packed for a different K"
+    auto_n = block_n == 0
     block_n = block_n or _pick_block(n, cap=CAP_N)
     block_k = block_k or _pick_block(k, cap=2 * CAP_K, floor=256)
     assert block_n and block_k, "untileable shapes; use the XLA fallback"
+    # VMEM guard (auto sizing only): the kernel holds the int8 block plus
+    # its bf16 widening — bound block_k x block_n (8M elems ~= 24 MB)
+    while auto_n and block_k * block_n > 8 * 1024 * 1024 and block_n > 256:
+        smaller = _pick_block(n, cap=block_n - 128)
+        if not smaller:
+            break
+        block_n = smaller
     n_kblocks = k // block_k
     t_pad = -(-t // 8) * 8
     if t_pad != t:
