@@ -354,12 +354,16 @@ def emit(value, detail):
     overflowed the driver's tail capture and BENCH_r03 recorded
     parsed=null). The full detail dict goes to ``DETAIL_FILE``; the stdout
     line carries only the headline plus a one-line summary per variant."""
+    detail_path = os.path.relpath(
+        DETAIL_FILE, os.path.dirname(os.path.abspath(__file__)))
     try:
         os.makedirs(os.path.dirname(DETAIL_FILE), exist_ok=True)
         with open(DETAIL_FILE, "w") as f:
             json.dump({"value": value, "detail": detail}, f, indent=1)
     except OSError as e:  # pragma: no cover - bench resilience
         log(f"could not write detail file: {e}")
+        # don't point consumers at a stale file from an earlier run
+        detail_path = f"UNWRITTEN ({e})"
 
     def brief(v):
         if isinstance(v, dict):
@@ -379,8 +383,7 @@ def emit(value, detail):
         "value": value,
         "unit": "x",
         "vs_baseline": round(value / REFERENCE_SPEEDUP, 3),
-        "detail_file": os.path.relpath(
-            DETAIL_FILE, os.path.dirname(os.path.abspath(__file__))),
+        "detail_file": detail_path,
         "variant_speedups": summary,
         "backend": detail.get("backend", "")[:60],
         "token_exact": detail.get("token_exact"),
@@ -490,7 +493,7 @@ def main_child():
 
     def realistic_band(scale, tune_artifact, default_cfg, label,
                        demo_config=False, int8_artifact=None,
-                       int8_default=None):
+                       int8_default=None, env="LADE_BENCH_REALISTIC_CFG"):
         rc = {"noisy_scale": scale}
         _, noisy_params, nxt2 = build_predictable_model(
             seed=1, layer_scale=scale, **arch_headline)
@@ -503,8 +506,7 @@ def main_child():
             attach_forensics(res, rr, rbb, mcfg, noisy_params)
             rc["demo_config_L7W20G20"] = res
             eng.params = params
-        tuned = tuned_cfg_from(tune_artifact, default_cfg,
-                               env="LADE_BENCH_REALISTIC_CFG")
+        tuned = tuned_cfg_from(tune_artifact, default_cfg, env=env)
         name = (f"L{tuned['level']}W{tuned['window_size']}"
                 f"G{tuned['guess_set_size']}")
         if budget_left() > 240:
@@ -556,20 +558,23 @@ def main_child():
 
     NOISY_MID = float(os.environ.get("LADE_BENCH_NOISY_SCALE", "0.036"))
     NOISY_HI = float(os.environ.get("LADE_BENCH_NOISY_SCALE_HI", "0.033"))
-    for key, scale, artifact, default_cfg, demo, art8, def8 in (
+    # per-band env overrides: a shared env var would silently replace the
+    # upper-band (north-star) measurement when pinning the mid-band config
+    for key, scale, artifact, default_cfg, demo, art8, def8, env in (
         ("realistic_compression", NOISY_MID, "tune_realistic_036_r4.json",
          {"level": 5, "window_size": 4, "guess_set_size": 10}, True,
-         None, None),
+         None, None, "LADE_BENCH_REALISTIC_CFG"),
         ("realistic_upper_band", NOISY_HI, "tune_realistic_033.json",
          {"level": 5, "window_size": 3, "guess_set_size": 8}, False,
          "tune_realistic_033_int8.json",
-         {"level": 5, "window_size": 4, "guess_set_size": 6}),
+         {"level": 5, "window_size": 4, "guess_set_size": 6},
+         "LADE_BENCH_REALISTIC_CFG_HI"),
     ):
         if budget_left() > 300:
             try:
                 variants[key] = realistic_band(
                     scale, artifact, default_cfg, key, demo_config=demo,
-                    int8_artifact=art8, int8_default=def8)
+                    int8_artifact=art8, int8_default=def8, env=env)
             except Exception as e:  # pragma: no cover - bench resilience
                 variants[key] = {"error": str(e)[:200]}
             finally:

@@ -192,7 +192,10 @@ def qmatmul(x: jax.Array, w, dtype=None) -> jax.Array:
     if not isinstance(w, dict):
         return x @ w
     dtype = dtype or x.dtype
-    if "q" in w and INT8_IMPL == "kernel":
+    if "q" in w and INT8_IMPL == "kernel" and dtype == x.dtype:
+        # dtype != x.dtype falls through to the dequant path (the kernel
+        # emits x.dtype); the guard keeps qmatmul's dtype contract
+        # independent of LADE_INT8_IMPL.
         from .quant_matmul import int8_matmul, int8_matmul_supported
         if (jax.default_backend() != "cpu"
                 and int8_matmul_supported(x.shape[-1], w["q"].shape)):

@@ -305,17 +305,11 @@ def int8_matmul(
     t, k = x.shape
     kq, n = q.shape
     assert kq == k, "weight packed for a different K"
-    auto_n = block_n == 0
-    block_n = block_n or _pick_block(n, cap=CAP_N)
-    block_k = block_k or _pick_block(k, cap=2 * CAP_K, floor=256)
-    assert block_n and block_k, "untileable shapes; use the XLA fallback"
-    # VMEM guard (auto sizing only): the kernel holds the int8 block plus
-    # its bf16 widening — bound block_k x block_n (8M elems ~= 24 MB)
-    while auto_n and block_k * block_n > 8 * 1024 * 1024 and block_n > 256:
-        smaller = _pick_block(n, cap=block_n - 128)
-        if not smaller:
-            break
-        block_n = smaller
+    if not (block_n and block_k):
+        auto = _int8_blocks(k, n)
+        assert auto, "untileable/over-VMEM shapes; use the XLA fallback"
+        block_k = block_k or auto[0]
+        block_n = block_n or auto[1]
     n_kblocks = k // block_k
     t_pad = -(-t // 8) * 8
     if t_pad != t:
@@ -343,11 +337,34 @@ def int8_matmul(
     return out[:t]
 
 
+def _int8_blocks(k, n):
+    """Auto block sizing for ``int8_matmul``: largest lane-aligned divisors,
+    shrunk (N first, then K) until the int8 block plus its in-kernel bf16
+    widening fits the VMEM bound (8M elems ~= 24 MB). Returns
+    ``(block_k, block_n)`` or None when no divisor pair fits — callers must
+    take the XLA fallback. ``int8_matmul_supported`` mirrors this exactly,
+    so the guarded dispatch (quant.qmatmul) never compiles an over-VMEM
+    kernel (e.g. N = 128 x prime, where N cannot shrink below its only
+    divisor)."""
+    block_n = _pick_block(n, cap=CAP_N)
+    block_k = _pick_block(k, cap=2 * CAP_K, floor=256)
+    if not (block_n and block_k):
+        return None
+    while block_k * block_n > 8 * 1024 * 1024:
+        smaller_n = _pick_block(n, cap=block_n - 128)
+        if smaller_n:
+            block_n = smaller_n
+            continue
+        smaller_k = _pick_block(k, cap=block_k - 128, floor=256)
+        if not smaller_k:
+            return None
+        block_k = smaller_k
+    return block_k, block_n
+
+
 def int8_matmul_supported(k: int, q_shape) -> bool:
     kq, n = q_shape
-    return (kq == k
-            and _pick_block(k, cap=2 * CAP_K, floor=256) != 0
-            and _pick_block(n, cap=CAP_N) != 0)
+    return kq == k and _int8_blocks(k, n) is not None
 
 
 def int4_matmul_supported(k: int, q4_shape, logical_k2=None) -> bool:

@@ -79,12 +79,15 @@ def _as_lcfg(cand: Candidate, pool_from_prompt: bool,
 
 def enable_compile_cache(path: str = "~/.cache/jax_lade") -> None:
     """Persistent compile cache: candidate loops recompile in ~20 s instead
-    of minutes on re-tuning runs. Safe to call repeatedly."""
+    of minutes on re-tuning runs. Safe to call repeatedly. A cache dir the
+    caller already configured is left alone — repointing the process-global
+    cache would redirect every later compile in their process."""
     import jax
     try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.expanduser(path))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+        if jax.config.jax_compilation_cache_dir is None:
+            jax.config.update("jax_compilation_cache_dir",
+                              os.path.expanduser(path))
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     except Exception:  # pragma: no cover - older jax knob names
         pass
 
@@ -113,17 +116,22 @@ def autotune(
         enable_compile_cache()
     t0 = time.time()
     report: List[TuneResult] = []
-    for cand in grid:
+    for i, cand in enumerate(grid):
         if budget_s and time.time() - t0 > budget_s:
+            print(f"autotune: budget exhausted after {i}/{len(grid)} "
+                  "candidates; winner is of the measured subset only",
+                  flush=True)
             break
         try:
+            # ValueError = infeasible (config validation or capacity);
+            # a typo'd dict FIELD raises TypeError and must propagate
             lcfg = _as_lcfg(cand, pool_from_prompt, pool_key_len)
             eng = LookaheadEngine(model_cfg, params, lcfg, engine_cfg)
             eng.generate(prompt_ids, 8, seed=seed)       # compile + warm
             # median of 3 full runs; generate() itself records wall time
             runs = [eng.generate(prompt_ids, max_new_tokens, seed=seed)
                     for _ in range(3)]
-        except (ValueError, TypeError) as e:
+        except ValueError:
             if progress is not None:
                 progress(cand, None)
             continue   # infeasible candidate (config or prompt vs capacity)

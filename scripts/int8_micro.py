@@ -21,12 +21,12 @@ sys.path.insert(0, "/root/repo")
 
 
 def timeit(f, *args, reps=50):
-    f(*args)[0].block_until_ready() if isinstance(f(*args), tuple) else \
-        f(*args).block_until_ready()
+    import jax
+    jax.block_until_ready(f(*args))         # compile + warm
     t0 = time.perf_counter()
     for _ in range(reps):
         out = f(*args)
-    out.block_until_ready()
+    jax.block_until_ready(out)
     return (time.perf_counter() - t0) / reps
 
 

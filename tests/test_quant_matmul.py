@@ -212,3 +212,26 @@ def test_int4_impl_env_dispatch(monkeypatch):
     out = quant.qmatmul(x, wq, dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_int8_auto_blocks_respect_vmem_bound():
+    """The auto block sizing and the supported-predicate must agree, and
+    neither may hand the kernel an over-VMEM block. Regression: N = 128 x
+    prime cannot shrink below its only lane-aligned divisor, so the old
+    guard gave up and compiled a ~105 MB block (K=8192, N=8576=128x67)
+    while int8_matmul_supported still said True -> Mosaic crash instead of
+    the XLA fallback."""
+    from lookaheaddecoding_tpu.ops.quant_matmul import (
+        _int8_blocks, int8_matmul_supported)
+    bk, bn = _int8_blocks(8192, 8576)       # shrinks K once N is stuck
+    assert bk * bn <= 8 * 1024 * 1024
+    assert 8192 % bk == 0 and 8576 % bn == 0
+    assert int8_matmul_supported(8192, (8192, 8576))
+    # genuinely unshrinkable: K at the 256 floor, N a huge 128 x prime
+    assert _int8_blocks(256, 128 * 1009) is None
+    assert not int8_matmul_supported(256, (256, 128 * 1009))
+    # supported() mirrors the sizing for the ordinary shapes too
+    for k, n in ((512, 256), (2048, 5632), (4096, 11008)):
+        blocks = _int8_blocks(k, n)
+        assert blocks and blocks[0] * blocks[1] <= 8 * 1024 * 1024
+        assert int8_matmul_supported(k, (k, n))
