@@ -108,8 +108,10 @@ def get_engine(model_path: str, dtype=None):
 
     lcfg, ecfg = _configs()
     log = CONFIG_MAP.get("log")
-    if log is not None:
-        log.debug = bool(CONFIG_MAP.get("DEBUG", 0))
+    if log is not None and "DEBUG" in CONFIG_MAP:
+        # only an explicit DEBUG knob overrides a user-constructed
+        # DecodeLog(debug=True) — absent means "leave the log's own flag"
+        log.debug = bool(CONFIG_MAP["DEBUG"])
     mcfg, params, tok = load_pretrained(
         model_path, dtype=dtype or jnp.bfloat16)
     mesh = None

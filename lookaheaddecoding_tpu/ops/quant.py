@@ -153,24 +153,8 @@ INT8_IMPL = os.environ.get("LADE_INT8_IMPL", "xla")
 INT4_IMPL = os.environ.get("LADE_INT4_IMPL", "kernel")
 
 
-def _int4_bitcast_matmul(x: jax.Array, w, dtype) -> jax.Array:
-    """x @ dequant(q4) expressed on jnp.int4 views of the packed bytes.
-
-    Split-half packing (quantize_weight): byte row r = input row r (low
-    nibble) + row r + K/2 (high nibble). ``bitcast_convert_type(int8 ->
-    int4)`` exposes the nibbles as a trailing axis of 2 (LSB-first, so
-    index 0 = low nibble = the signed low-half weight — verified against
-    dequantize_weight in tests/test_quant_matmul.py). Two narrow dots per
-    projection, one per nibble plane; per-output-channel scales factor out
-    of the contraction exactly.
-
-    CPU caveat: the XLA *CPU* constant folder mis-orders the int8->int4
-    nibbles when ``q4`` is a closure-embedded CONSTANT (correct on TPU and
-    for traced operands on both backends — tests/test_quant_matmul.py
-    pins both; PARITY.md documents the miscompile). Pass quantized params
-    as jit ARGUMENTS, never bake them into the traced function, when using
-    LADE_INT4_IMPL=bitcast on the CPU backend."""
-    q4, scale = w["q4"], w["scale"]
+@functools.partial(jax.jit, static_argnames=("dtype",))
+def _int4_bitcast_matmul_impl(x, q4, scale, dtype):
     k = x.shape[-1]
     k2 = k // 2
     planes = jax.lax.bitcast_convert_type(q4, jnp.int4)   # [..., k2p, N, 2]
@@ -182,6 +166,30 @@ def _int4_bitcast_matmul(x: jax.Array, w, dtype) -> jax.Array:
            + jax.lax.dot_general(x[..., k2:], hi, dims,
                                  preferred_element_type=jnp.float32))
     return (acc * scale).astype(dtype)
+
+
+def _int4_bitcast_matmul(x: jax.Array, w, dtype) -> jax.Array:
+    """x @ dequant(q4) expressed on jnp.int4 views of the packed bytes.
+
+    Split-half packing (quantize_weight): byte row r = input row r (low
+    nibble) + row r + K/2 (high nibble). ``bitcast_convert_type(int8 ->
+    int4)`` exposes the nibbles as a trailing axis of 2 (LSB-first, so
+    index 0 = low nibble = the signed low-half weight — verified against
+    dequantize_weight in tests/test_quant_matmul.py). Two narrow dots per
+    projection, one per nibble plane; per-output-channel scales factor out
+    of the contraction exactly.
+
+    The body is jitted with q4 as an ARGUMENT, which kills two birds:
+    eager int4 arrays never reach the backend client (the axon remote-TPU
+    client RecursionErrors on them — round-4 TPU test run), and the XLA
+    *CPU* constant folder's nibble mis-ordering on closure-embedded q4
+    CONSTANTS cannot trigger (correct on TPU and for traced operands on
+    both backends — tests/test_quant_matmul.py pins both; PARITY.md
+    documents the miscompile). An enclosing jit inlines this one, so the
+    engine's fused paths are unchanged. Callers who close over q4 in
+    their OWN jit on CPU still hit the folder bug — keep passing
+    quantized params as arguments there."""
+    return _int4_bitcast_matmul_impl(x, w["q4"], w["scale"], dtype)
 
 
 def qmatmul(x: jax.Array, w, dtype=None) -> jax.Array:
@@ -197,8 +205,9 @@ def qmatmul(x: jax.Array, w, dtype=None) -> jax.Array:
         # emits x.dtype); the guard keeps qmatmul's dtype contract
         # independent of LADE_INT8_IMPL.
         from .quant_matmul import int8_matmul, int8_matmul_supported
-        if (jax.default_backend() != "cpu"
-                and int8_matmul_supported(x.shape[-1], w["q"].shape)):
+        if (jax.default_backend() != "cpu" and x.ndim == 2
+                and int8_matmul_supported(x.shape[-1], w["q"].shape,
+                                          t=x.shape[0])):
             return int8_matmul(x, w["q"], w["scale"])
     if "q4" in w and INT4_IMPL == "bitcast":
         return _int4_bitcast_matmul(x, w, dtype)

@@ -131,6 +131,11 @@ def _kernel_pipe(xlo_ref, xhi_ref, q_ref, s_ref, o_ref,
 # Env knobs for on-hardware sweeps.
 CAP_N = int(os.environ.get("LADE_INT4_CAP_N", "16384"))
 CAP_K = int(os.environ.get("LADE_INT4_CAP_K", "2816"))
+# The int8 kernel has its OWN cap knobs (defaults match the int4 ones):
+# sweeping LADE_INT4_CAP_* to tune the int4 kernel must not silently
+# reshape the int8 kernel it is being A/B'd against.
+INT8_CAP_N = int(os.environ.get("LADE_INT8_CAP_N", "16384"))
+INT8_CAP_K = int(os.environ.get("LADE_INT8_CAP_K", "5632"))
 
 
 def _pick_block(dim: int, cap: int = 2048, floor: int = 256) -> int:
@@ -306,7 +311,7 @@ def int8_matmul(
     kq, n = q.shape
     assert kq == k, "weight packed for a different K"
     if not (block_n and block_k):
-        auto = _int8_blocks(k, n)
+        auto = _int8_blocks(k, n, t)
         assert auto, "untileable/over-VMEM shapes; use the XLA fallback"
         block_k = block_k or auto[0]
         block_n = block_n or auto[1]
@@ -337,7 +342,7 @@ def int8_matmul(
     return out[:t]
 
 
-def _int8_blocks(k, n):
+def _int8_blocks(k, n, t=8):
     """Auto block sizing for ``int8_matmul``: largest lane-aligned divisors,
     shrunk (N first, then K) until the int8 block plus its in-kernel bf16
     widening fits the VMEM bound (8M elems ~= 24 MB). Returns
@@ -345,12 +350,27 @@ def _int8_blocks(k, n):
     take the XLA fallback. ``int8_matmul_supported`` mirrors this exactly,
     so the guarded dispatch (quant.qmatmul) never compiles an over-VMEM
     kernel (e.g. N = 128 x prime, where N cannot shrink below its only
-    divisor)."""
-    block_n = _pick_block(n, cap=CAP_N)
-    block_k = _pick_block(k, cap=2 * CAP_K, floor=256)
+    divisor). ``t`` is the activation row count: the T-axis buffers
+    (double-buffered x blocks, f32 accumulator, output) scale with it, so
+    a block pair fine at decode sizes can blow VMEM at a large prefill
+    chunk — they are part of the budget, not just the weight block."""
+    t_pad = max(8, -(-t // 8) * 8)
+    block_n = _pick_block(n, cap=INT8_CAP_N)
+    block_k = _pick_block(k, cap=INT8_CAP_K, floor=256)
     if not (block_n and block_k):
         return None
-    while block_k * block_n > 8 * 1024 * 1024:
+
+    def vmem_bytes(bk, bn):
+        w = 3 * bk * bn                  # int8 block x2 buffers + widening
+        xb = 2 * 2 * t_pad * bk          # bf16 x blocks, double-buffered
+        tn = (4 + 2 * 2) * t_pad * bn    # f32 acc + bf16 out x2 buffers
+        return w + xb + tn
+
+    # two bounds: the weight block keeps the benched 8M-elem budget (the
+    # block sizes all round-4 chip numbers were measured at), and the
+    # T-scaled total stays under 64 MB of the 96 MB VMEM limit
+    while (block_k * block_n > 8 * 1024 * 1024
+           or vmem_bytes(block_k, block_n) > 64 * 1024 * 1024):
         smaller_n = _pick_block(n, cap=block_n - 128)
         if smaller_n:
             block_n = smaller_n
@@ -362,9 +382,9 @@ def _int8_blocks(k, n):
     return block_k, block_n
 
 
-def int8_matmul_supported(k: int, q_shape) -> bool:
+def int8_matmul_supported(k: int, q_shape, t: int = 8) -> bool:
     kq, n = q_shape
-    return kq == k and _int8_blocks(k, n) is not None
+    return kq == k and _int8_blocks(k, n, t) is not None
 
 
 def int4_matmul_supported(k: int, q4_shape, logical_k2=None) -> bool:

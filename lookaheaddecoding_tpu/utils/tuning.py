@@ -31,6 +31,7 @@ import dataclasses
 import itertools
 import json
 import os
+import sys
 import time
 from typing import List, Optional, Sequence, Tuple, Union
 
@@ -120,7 +121,7 @@ def autotune(
         if budget_s and time.time() - t0 > budget_s:
             print(f"autotune: budget exhausted after {i}/{len(grid)} "
                   "candidates; winner is of the measured subset only",
-                  flush=True)
+                  file=sys.stderr, flush=True)
             break
         try:
             # ValueError = infeasible (config validation or capacity);

@@ -9,7 +9,6 @@ per projection shape, at AR (T=8) and composite (T=56) row counts.
 Run ON TPU: env PYTHONPATH=/root/repo:/root/.axon_site \
     python scripts/int8_micro.py
 """
-import functools
 import json
 import os
 import sys
@@ -61,7 +60,7 @@ def main():
                         ((x @ q.astype(x.dtype)).astype(jnp.float32) * s
                          ).astype(x.dtype)),
                 x, wq["q"], wq["scale"])
-            t_kern = timeit(functools.partial(qm.int8_matmul),
+            t_kern = timeit(qm.int8_matmul,
                             x, wq["q"], wq["scale"])
             floor_us = k * n / 819e9 * 1e6
             row = dict(xla_us=round(t_xla * 1e6, 1),
