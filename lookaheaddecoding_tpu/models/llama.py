@@ -49,9 +49,19 @@ class LlamaConfig:
     rms_norm_eps: float = 1e-5
     rope_theta: float = 10000.0
     max_position_embeddings: int = 4096
-    # rope_scaling: None, ("linear", factor) or ("dynamic", factor)
-    # (reference modeling_llama.py:269-318)
-    rope_scaling: Optional[Tuple[str, float]] = None
+    # rope_scaling: None, ("linear", factor), ("dynamic", factor) —
+    # reference modeling_llama.py:269-318 — or, beyond the reference
+    # (its pinned transformers 4.36 predates both), the static
+    # init-time transforms used by current deployments:
+    #   ("llama3", (factor, low_freq_factor, high_freq_factor,
+    #               original_max_position_embeddings))
+    #   ("yarn",   (factor, beta_fast, beta_slow,
+    #               original_max_position_embeddings,
+    #               attention_factor, truncate))
+    # Params are flat float tuples so the frozen config stays hashable
+    # (it is a jit static argument). yarn's attention_factor is resolved
+    # to a concrete float at config build (mscale rules in from_hf).
+    rope_scaling: Optional[Tuple[str, Any]] = None
     tie_word_embeddings: bool = False
     # qkv projection biases (Qwen2-style checkpoints; plain LLaMA has none)
     attention_bias: bool = False
@@ -84,15 +94,46 @@ class LlamaConfig:
             kind = rs.get("type", rs.get("rope_type", "linear"))
             # "default" appears in some configs as an explicit no-op
             if kind == "default":
-                rs = None
-            elif kind not in ("linear", "dynamic"):
-                # fail loud: silently ignoring llama3/yarn/longrope scaling
+                scaling = None
+            elif kind in ("linear", "dynamic"):
+                scaling = (kind, float(rs["factor"]))
+            elif kind == "llama3":
+                scaling = ("llama3", (
+                    float(rs["factor"]),
+                    float(rs["low_freq_factor"]),
+                    float(rs["high_freq_factor"]),
+                    float(rs["original_max_position_embeddings"]),
+                ))
+            elif kind == "yarn":
+                factor = float(rs["factor"])
+                att = rs.get("attention_factor")
+                if att is None:
+                    # paper-default mscale; the mscale/mscale_all_dim pair
+                    # (DeepSeek-style checkpoints) folds into one concrete
+                    # scalar here so runtime carries only a float
+                    def _mscale(scale, m=1.0):
+                        return (1.0 if scale <= 1.0
+                                else 0.1 * m * math.log(scale) + 1.0)
+                    ms, msad = rs.get("mscale"), rs.get("mscale_all_dim")
+                    if ms and msad:
+                        att = _mscale(factor, ms) / _mscale(factor, msad)
+                    else:
+                        att = _mscale(factor)
+                scaling = ("yarn", (
+                    factor,
+                    float(rs.get("beta_fast") or 32.0),
+                    float(rs.get("beta_slow") or 1.0),
+                    float(rs.get("original_max_position_embeddings")
+                          or hf_config.max_position_embeddings),
+                    float(att),
+                    1.0 if rs.get("truncate", True) else 0.0,
+                ))
+            else:
+                # fail loud: silently ignoring longrope/unknown scaling
                 # would produce plausible-but-wrong generations
                 raise NotImplementedError(
                     f"rope_scaling type '{kind}' is not implemented "
-                    "(supported: linear, dynamic)")
-            if rs:
-                scaling = (kind, float(rs["factor"]))
+                    "(supported: linear, dynamic, llama3, yarn)")
         model_type = getattr(hf_config, "model_type", "")
         is_gemma = model_type == "gemma"
         hidden_act = "silu"
@@ -216,16 +257,61 @@ def act_fn(cfg: "LlamaConfig"):
 
 def rope_inv_freq(cfg: LlamaConfig, seq_len: Optional[int] = None) -> np.ndarray:
     """Inverse frequencies with linear / dynamic-NTK scaling
-    (reference modeling_llama.py:269-318)."""
+    (reference modeling_llama.py:269-318), plus the static llama3 / yarn
+    init-time transforms (beyond the reference; HF-parity-tested against
+    transformers' rope init)."""
     d = cfg.head_dim
     base = cfg.rope_theta
-    if cfg.rope_scaling is not None and cfg.rope_scaling[0] == "dynamic":
+    kind = cfg.rope_scaling[0] if cfg.rope_scaling is not None else None
+    if kind == "dynamic":
         factor = cfg.rope_scaling[1]
         max_pos = cfg.max_position_embeddings
         if seq_len is not None and seq_len > max_pos:
             base = base * ((factor * seq_len / max_pos) - (factor - 1)) ** (d / (d - 2))
     inv = 1.0 / (base ** (np.arange(0, d, 2, dtype=np.float64) / d))
+    if kind == "llama3":
+        # Llama-3.1 wavelength-banded scaling: frequencies whose wavelength
+        # exceeds the pretraining context are interpolated by `factor`,
+        # short wavelengths are kept, the band between is blended linearly
+        # in rotations-per-original-context space.
+        factor, low_ff, high_ff, old_ctx = cfg.rope_scaling[1]
+        wavelen = 2.0 * np.pi / inv
+        rotations = old_ctx / wavelen          # turns over the old context
+        blend = (rotations - low_ff) / (high_ff - low_ff)
+        inv = np.where(
+            wavelen > old_ctx / low_ff, inv / factor,          # long: scale
+            np.where(wavelen < old_ctx / high_ff, inv,         # short: keep
+                     ((1.0 - blend) / factor + blend) * inv))  # band: blend
+    elif kind == "yarn":
+        # YaRN (arXiv:2309.00071): per-dimension blend between interpolated
+        # (inv/factor) and extrapolated (inv) frequencies over a ramp whose
+        # bounds come from the beta_fast/beta_slow rotation counts.
+        factor, beta_fast, beta_slow, old_ctx, _att, trunc = cfg.rope_scaling[1]
+
+        def corr_dim(n_rot):
+            return (d * np.log(old_ctx / (n_rot * 2.0 * np.pi))
+                    ) / (2.0 * np.log(cfg.rope_theta))
+
+        low, high = corr_dim(beta_fast), corr_dim(beta_slow)
+        if trunc:
+            low, high = np.floor(low), np.ceil(high)
+        low, high = max(low, 0.0), min(high, d - 1.0)
+        if high == low:
+            high += 0.001                      # ramp singularity guard
+        ramp = np.clip((np.arange(d // 2, dtype=np.float64) - low)
+                       / (high - low), 0.0, 1.0)
+        extrap = 1.0 - ramp                    # 1 = keep original freq
+        inv = inv / factor * (1.0 - extrap) + inv * extrap
     return inv.astype(np.float32)
+
+
+def rope_attention_factor(cfg: LlamaConfig) -> float:
+    """Post-scaling applied to cos/sin (YaRN's "attention temperature",
+    folded into the tables exactly like HF multiplies its cached cos/sin).
+    1.0 for every other scaling kind."""
+    if cfg.rope_scaling is not None and cfg.rope_scaling[0] == "yarn":
+        return float(cfg.rope_scaling[1][4])
+    return 1.0
 
 
 def rope_rows_dynamic(cfg: LlamaConfig, positions: jax.Array,
@@ -284,7 +370,9 @@ def rope_tables(cfg: LlamaConfig, max_len: int) -> Tuple[jax.Array, jax.Array]:
         t = t / cfg.rope_scaling[1]
     freqs = np.outer(t, inv)                       # [max_len, d/2]
     emb = np.concatenate([freqs, freqs], axis=-1)  # [max_len, d]
-    return jnp.asarray(np.cos(emb)), jnp.asarray(np.sin(emb))
+    att = rope_attention_factor(cfg)
+    return (jnp.asarray(np.cos(emb) * att),
+            jnp.asarray(np.sin(emb) * att))
 
 
 def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:

@@ -82,7 +82,12 @@ def load_params(path: str) -> Tuple[LlamaConfig, Dict]:
     dtypes = cfg_dict.pop("_array_dtypes", {})
     cfg_dict["dtype"] = jnp.dtype(cfg_dict["dtype"]).type
     if cfg_dict.get("rope_scaling") is not None:
-        cfg_dict["rope_scaling"] = tuple(cfg_dict["rope_scaling"])
+        # ("llama3"/"yarn", (params...)) nests a tuple that json round-trips
+        # as a list — restore tuples recursively so the config is hashable
+        kind, params = cfg_dict["rope_scaling"]
+        if isinstance(params, list):
+            params = tuple(params)
+        cfg_dict["rope_scaling"] = (kind, params)
     cfg = LlamaConfig(**cfg_dict)
     with np.load(path) as z:
         flat = {}

@@ -127,3 +127,75 @@ def test_dynamic_rope_unscaled_below_threshold():
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(sin_d), np.asarray(sin_p),
                                atol=1e-6)
+
+
+# --------------------------------------------------------------------------
+# llama3 / yarn rope scaling (beyond the reference: its pinned transformers
+# 4.36 has neither; parity target is current transformers' rope init)
+# --------------------------------------------------------------------------
+
+LLAMA3_RS = {"rope_type": "llama3", "factor": 8.0, "low_freq_factor": 1.0,
+             "high_freq_factor": 4.0, "original_max_position_embeddings": 64}
+YARN_RS = {"rope_type": "yarn", "factor": 4.0,
+           "original_max_position_embeddings": 64}
+
+
+@pytest.mark.parametrize("rs", [LLAMA3_RS, YARN_RS,
+                                {**YARN_RS, "beta_fast": 16.0,
+                                 "beta_slow": 2.0, "attention_factor": 1.3},
+                                {**YARN_RS, "mscale": 0.8,
+                                 "mscale_all_dim": 0.4}],
+                         ids=["llama3", "yarn", "yarn-explicit", "yarn-mscale"])
+def test_static_rope_transforms_match_hf_init(rs):
+    """inv_freq and the cos/sin post-factor vs transformers' own rope init
+    functions for the same config."""
+    from transformers.modeling_rope_utils import ROPE_INIT_FUNCTIONS
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=96, hidden_size=64, num_attention_heads=4,
+        num_key_value_heads=2, max_position_embeddings=256,
+        rope_scaling=dict(rs))
+    ref_inv, ref_att = ROPE_INIT_FUNCTIONS[rs["rope_type"]](hf_cfg, None)
+    mcfg = llama.LlamaConfig.from_hf(hf_cfg)
+    mine = llama.rope_inv_freq(mcfg)
+    np.testing.assert_allclose(mine, ref_inv.numpy(), rtol=1e-6)
+    assert llama.rope_attention_factor(mcfg) == pytest.approx(ref_att)
+
+
+@pytest.mark.parametrize("rs", [LLAMA3_RS, YARN_RS], ids=["llama3", "yarn"])
+def test_static_rope_full_model_logits_match_hf(rs):
+    """End-to-end logits parity with context PAST the original pretraining
+    window (the regime these scalings exist for)."""
+    hf = make_hf(rope_scaling=dict(rs), max_pos=256)
+    mcfg, params = lt.convert_hf_model(hf, dtype=jnp.float32)
+    assert mcfg.rope_scaling[0] == rs["rope_type"]
+    tokens = np.random.RandomState(4).randint(0, 96, size=96)
+    with torch.no_grad():
+        ref = hf(torch.tensor(tokens)[None]).logits[0].numpy()
+    mine, *_ = jax_logits(mcfg, params, tokens)
+    np.testing.assert_allclose(mine, ref, atol=2e-4, rtol=2e-3)
+
+
+def test_longrope_still_fails_loud():
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=96, hidden_size=64, num_attention_heads=4,
+        max_position_embeddings=256,
+        rope_scaling={"rope_type": "longrope",
+                      "short_factor": [1.0] * 8, "long_factor": [2.0] * 8,
+                      "original_max_position_embeddings": 64})
+    with pytest.raises(NotImplementedError, match="longrope"):
+        llama.LlamaConfig.from_hf(hf_cfg)
+
+
+def test_llama3_rope_engine_lookahead_exact():
+    """Lookahead == AR token-exactness is preserved under llama3 scaling
+    (the tables feed both decode paths identically)."""
+    hf = make_hf(rope_scaling=dict(LLAMA3_RS), max_pos=256)
+    mcfg, params = lt.convert_hf_model(hf, dtype=jnp.float32)
+    eng = lt.LookaheadEngine(
+        mcfg, params,
+        lt.LookaheadConfig(level=4, window_size=4, guess_set_size=4),
+        lt.EngineConfig(max_seq_len=256))
+    prompt = list(np.random.RandomState(5).randint(0, 96, size=70))
+    la = eng.generate(prompt, max_new_tokens=48)
+    ar = eng.generate_baseline(prompt, max_new_tokens=48)
+    np.testing.assert_array_equal(la.tokens, ar.tokens)
