@@ -6,7 +6,7 @@ mounted read-only at /root/reference; see SURVEY.md for the structural map).
 """
 
 from .config import EngineConfig, LookaheadConfig, SamplingConfig
-from .core.engine import GenerationResult, LookaheadEngine
+from .core.engine import GenerationResult, LookaheadEngine, PrefixCache
 from .core.layout import Layout, build_layout
 from .models.llama import LlamaConfig, init_params
 from .models.convert import convert_hf_model, convert_hf_state_dict, load_pretrained
@@ -22,6 +22,7 @@ __all__ = [
     "SamplingConfig",
     "LookaheadEngine",
     "GenerationResult",
+    "PrefixCache",
     "Layout",
     "build_layout",
     "LlamaConfig",

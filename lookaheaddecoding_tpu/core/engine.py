@@ -103,6 +103,25 @@ class GenerationResult:
         return self.num_generated / self.wall_time_s if self.wall_time_s else 0.0
 
 
+@dataclasses.dataclass(frozen=True)
+class PrefixCache:
+    """Precomputed KV for a shared prompt prefix (e.g. a system prompt).
+
+    Built once by :meth:`LookaheadEngine.precompute_prefix`; any number of
+    later ``generate``/``generate_sample``/``generate_baseline``/serving
+    requests whose prompt starts with ``tokens`` reuse it — their prefill
+    covers only the suffix, cutting TTFT by the prefix's share of prefill.
+    The buffers are full engine-capacity caches (one request's KV memory)
+    and are never donated, so a single PrefixCache serves concurrent
+    requests. Beyond the reference (which re-prefills every prompt in
+    full, decoding.py:937-939)."""
+
+    tokens: np.ndarray       # [P0] int32, the exact prefix token ids
+    k_cache: object          # [L, M, Hkv, D] (or int8-KV dict) per pp rules
+    v_cache: object
+    length: int
+
+
 class LookaheadEngine:
     def __init__(
         self,
@@ -189,6 +208,8 @@ class LookaheadEngine:
         self._baseline_step = jax.jit(fns.baseline_step, donate_argnums=self._don)
         self._sample_loops = {}   # top_k -> jitted sampling loop
         self._vfused = None       # batched fused generate (built lazily)
+        self._fused_px = {}       # prefix-cache fused variants (lazy)
+        self._fused_precompute = None
         # Fused dispatches: alloc + init + pool fill + prefill (+ decode
         # loop) in ONE jit call. Over a remote-TPU link every jit call and
         # scalar readback is a round trip (~tens of ms); the staged
@@ -226,6 +247,90 @@ class LookaheadEngine:
 
         return call
 
+    def _make_fused_prefix(self, loop_fn):
+        """Prefix-cache variant of :meth:`_make_fused`: the KV caches come
+        in as (non-donated) arguments already holding rows [0, plen), and
+        prefill covers only prompt[plen:-1]."""
+        from .pool import apply_host_fill
+
+        def call(params, out_buf, prompt_len, rng, fill, pk, pv, plen,
+                 max_new=None, eos=None, *extra):
+            pool = pool_init(
+                pool_table_rows(self.mcfg.vocab_size, self.lcfg.pool_key_len,
+                                self.lcfg.pool_hash_size),
+                self.layout.guess_set_size, self.layout.guess_size)
+            state = self._fns.init_state(
+                pk, pv, pool, out_buf, prompt_len, rng)
+            if fill is not None:
+                state = state._replace(
+                    pool=apply_host_fill(state.pool, *fill))
+            state = self._fns.prefill_from(params, state, plen)
+            if loop_fn is None:
+                return state
+            return loop_fn(params, state, max_new, eos, *extra)
+
+        return call
+
+    def _fused_with_prefix(self, kind, build_loop=None):
+        """Lazily-jitted prefix variants ('greedy' / 'baseline' /
+        'prepare' / sampling keys). out_buf stays the donated argument;
+        the prefix caches are deliberately NOT donated so one PrefixCache
+        serves many requests."""
+        fn = self._fused_px.get(kind)
+        if fn is None:
+            loop = build_loop() if build_loop else None
+            fn = jax.jit(self._make_fused_prefix(loop),
+                         donate_argnums=self._don)
+            self._fused_px[kind] = fn
+        return fn
+
+    # ------------------------------------------------------------------
+    def precompute_prefix(self, prefix_ids: Sequence[int],
+                          seed: int = 0) -> PrefixCache:
+        """Prefill a shared prompt prefix ONCE into fresh KV buffers (one
+        jitted dispatch); see :class:`PrefixCache`."""
+        if (self.mcfg.rope_scaling is not None
+                and self.mcfg.rope_scaling[0] == "dynamic"):
+            # dynamic-NTK keys rope on the FULL prompt length at prefill
+            # time — prefix rows computed at the prefix's own length would
+            # silently diverge from a from-scratch prefill past the
+            # threshold, so fail loud instead
+            raise ValueError(
+                "prefix caching is not supported with dynamic-NTK rope "
+                "scaling (the rope base depends on the full prompt length)")
+        prefix = np.asarray(prefix_ids, np.int32).reshape(-1)
+        P0 = len(prefix)
+        M = self.ecfg.max_seq_len
+        if P0 < 1:
+            raise ValueError("empty prefix")
+        if P0 + 1 + self.layout.seq_len > M:
+            raise ValueError(
+                f"prefix ({P0}) leaves no room for a suffix + composite "
+                f"step ({self.layout.seq_len}) within max_seq_len ({M})")
+        if self._fused_precompute is None:
+            def call(params, buf, p0_plus_1, rng):
+                k_cache, v_cache = llama.make_kv_cache(
+                    self.mcfg, M, quant=self.ecfg.kv_quant)
+                pool = pool_init(
+                    pool_table_rows(self.mcfg.vocab_size,
+                                    self.lcfg.pool_key_len,
+                                    self.lcfg.pool_hash_size),
+                    self.layout.guess_set_size, self.layout.guess_size)
+                st = self._fns.init_state(
+                    k_cache, v_cache, pool, buf, p0_plus_1, rng)
+                # init_len = P0+1 makes prefill_all cover [0, P0): every
+                # prefix row lands in the cache (the +1 slot is never read)
+                st = self._fns.prefill_all(params, st)
+                return st.k_cache, st.v_cache
+
+            self._fused_precompute = jax.jit(call)
+        buf = np.zeros((M + self.layout.guess_size,), np.int32)
+        buf[:P0] = prefix
+        k, v = self._fused_precompute(
+            self.params, jnp.asarray(buf), jnp.int32(P0 + 1),
+            jax.random.PRNGKey(seed))
+        return PrefixCache(tokens=prefix, k_cache=k, v_cache=v, length=P0)
+
     def _host_args(self, prompt_ids, seed, max_new_tokens=1):
         """Validate the prompt and build the fused call's host operands.
 
@@ -258,18 +363,38 @@ class LookaheadEngine:
         return (jnp.asarray(out_buf), jnp.int32(P),
                 jax.random.PRNGKey(seed), fill)
 
+    def _check_prefix(self, prefix: "PrefixCache", prompt_ids):
+        prompt = np.asarray(prompt_ids, np.int32).reshape(-1)
+        if (len(prompt) < prefix.length
+                or not np.array_equal(prompt[:prefix.length],
+                                      prefix.tokens)):
+            raise ValueError(
+                "prompt does not start with the precomputed prefix")
+
     def _run_fused(self, fused, prompt_ids, seed, max_new_tokens, eos,
-                   *extra):
+                   *extra, prefix: Optional["PrefixCache"] = None):
         out_buf, P, rng, fill = self._host_args(prompt_ids, seed,
                                                 max_new_tokens)
+        if prefix is not None:
+            self._check_prefix(prefix, prompt_ids)
+            return fused(self.params, out_buf, P, rng, fill,
+                         prefix.k_cache, prefix.v_cache,
+                         jnp.int32(prefix.length),
+                         jnp.int32(max_new_tokens), eos, *extra)
         return fused(self.params, out_buf, P, rng, fill,
                      jnp.int32(max_new_tokens), eos, *extra)
 
     # ------------------------------------------------------------------
-    def _prepare(self, prompt_ids: Sequence[int], seed: int) -> DecodeState:
+    def _prepare(self, prompt_ids: Sequence[int], seed: int,
+                 prefix: Optional["PrefixCache"] = None) -> DecodeState:
         """Prefilled DecodeState in one dispatch (streaming/serving/batch
         drive the decode loop themselves)."""
         out_buf, P, rng, fill = self._host_args(prompt_ids, seed)
+        if prefix is not None:
+            self._check_prefix(prefix, prompt_ids)
+            return self._fused_with_prefix("prepare")(
+                self.params, out_buf, P, rng, fill,
+                prefix.k_cache, prefix.v_cache, jnp.int32(prefix.length))
         return self._fused_prepare(self.params, out_buf, P, rng, fill)
 
     def _build_result(self, n_confirmed, init_len, step_idx, out_buf,
@@ -306,12 +431,19 @@ class LookaheadEngine:
         max_new_tokens: int,
         eos_token_id: Optional[int] = None,
         seed: int = 0,
+        prefix: Optional[PrefixCache] = None,
     ) -> GenerationResult:
         """Greedy lookahead generation (reference
-        jacobi_greedy_search_multilevel, decoding.py:697-1259)."""
+        jacobi_greedy_search_multilevel, decoding.py:697-1259). ``prefix``
+        reuses a :meth:`precompute_prefix` KV cache: prefill covers only
+        the prompt past the shared prefix."""
         t0 = time.perf_counter()
-        state = self._run_fused(self._fused_greedy, prompt_ids, seed,
-                                max_new_tokens, _eos_vec(eos_token_id))
+        fused = (self._fused_greedy if prefix is None else
+                 self._fused_with_prefix(
+                     "greedy", lambda: self._fns.decode_loop))
+        state = self._run_fused(fused, prompt_ids, seed,
+                                max_new_tokens, _eos_vec(eos_token_id),
+                                prefix=prefix)
         return self._finalize(state, max_new_tokens, t0)
 
     def generate_sample(
@@ -321,6 +453,7 @@ class LookaheadEngine:
         sampling: "SamplingConfig" = None,
         eos_token_id: Optional[int] = None,
         seed: int = 0,
+        prefix: Optional[PrefixCache] = None,
     ) -> GenerationResult:
         """Sampling lookahead generation with SpecInfer-style verification
         (reference jacobi_sample_multilevel, decoding.py:137-692). Preserves
@@ -330,17 +463,25 @@ class LookaheadEngine:
         t0 = time.perf_counter()
         use_top_p = sampling.top_p < 1.0
         key = (sampling.top_k, use_top_p)
-        loop = self._sample_loops.get(key)
-        if loop is None:
-            fns = build_step_fns(self.mcfg, self.lcfg, self.ecfg, self.layout,
-                                 top_k=sampling.top_k, use_top_p=use_top_p,
-                                 mesh=self.mesh)
-            loop = jax.jit(self._make_fused(fns.sample_loop),
-                           donate_argnums=self._don)
-            self._sample_loops[key] = loop
+
+        def build_fns():
+            return build_step_fns(self.mcfg, self.lcfg, self.ecfg,
+                                  self.layout, top_k=sampling.top_k,
+                                  use_top_p=use_top_p, mesh=self.mesh)
+
+        if prefix is None:
+            loop = self._sample_loops.get(key)
+            if loop is None:
+                loop = jax.jit(self._make_fused(build_fns().sample_loop),
+                               donate_argnums=self._don)
+                self._sample_loops[key] = loop
+        else:
+            loop = self._fused_with_prefix(
+                ("sample",) + key, lambda: build_fns().sample_loop)
         state = self._run_fused(
             loop, prompt_ids, seed, max_new_tokens, _eos_vec(eos_token_id),
-            jnp.float32(sampling.temperature), jnp.float32(sampling.top_p))
+            jnp.float32(sampling.temperature), jnp.float32(sampling.top_p),
+            prefix=prefix)
         return self._finalize(state, max_new_tokens, t0)
 
     def generate_batch(
@@ -409,12 +550,17 @@ class LookaheadEngine:
         max_new_tokens: int,
         eos_token_id: Optional[int] = None,
         seed: int = 0,
+        prefix: Optional[PrefixCache] = None,
     ) -> GenerationResult:
         """Vanilla autoregressive greedy decoding on the same weights/KV
         machinery — the comparison target for exactness and speedup."""
         t0 = time.perf_counter()
-        state = self._run_fused(self._fused_baseline, prompt_ids, seed,
-                                max_new_tokens, _eos_vec(eos_token_id))
+        fused = (self._fused_baseline if prefix is None else
+                 self._fused_with_prefix(
+                     "baseline", lambda: self._fns.baseline_loop))
+        state = self._run_fused(fused, prompt_ids, seed,
+                                max_new_tokens, _eos_vec(eos_token_id),
+                                prefix=prefix)
         return self._finalize(state, max_new_tokens, t0)
 
     def generate_stream(
@@ -424,12 +570,13 @@ class LookaheadEngine:
         eos_token_id: Optional[int] = None,
         seed: int = 0,
         lookahead: bool = True,
+        prefix: Optional[PrefixCache] = None,
     ) -> Iterator[np.ndarray]:
         """Streaming mode: yields the newly accepted token ids after every
         decode step (chat-mode analog; ``lookahead=False`` is the plain
         streaming greedy loop, reference greedy_search_chat
         decoding.py:1266-1548)."""
-        state = self._prepare(prompt_ids, seed)
+        state = self._prepare(prompt_ids, seed, prefix=prefix)
         eos = _eos_vec(eos_token_id)
         max_new = jnp.int32(max_new_tokens)
         step = self._step if lookahead else self._baseline_step

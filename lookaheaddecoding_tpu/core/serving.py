@@ -34,6 +34,9 @@ class Request:
     # engine-level SamplingConfig defaults)
     temperature: Optional[float] = None
     top_p: Optional[float] = None
+    # shared-prompt KV reuse: a LookaheadEngine.precompute_prefix result;
+    # the prompt must start with its tokens (system-prompt caching)
+    prefix: Optional[object] = None
 
 
 class ContinuousBatchingEngine:
@@ -62,8 +65,17 @@ class ContinuousBatchingEngine:
           lane-batching on aggregate tok/s (measured round 2: ~700 vs 479
           tok/s on the 16-request set); lanes only win when concurrency
           itself is the product requirement.
+        - ``"adaptive"``: pick per scheduling step by backlog depth — the
+          on-chip measurements (data/serving_latency_*.json) show fairness
+          wins TTFT only while live requests ≈ lanes and loses every axis
+          once the queue is deeper (queue wait dominates TTFT anyway):
+          with lanes idle and more than ``num_lanes`` requests queued, the
+          overflow drains through the throughput path; once the backlog
+          fits the lanes, requests are laned for TTFT. Lanes already
+          active always finish on the lane path first (fused generates
+          would stall them mid-decode).
         """
-        if objective not in ("fairness", "throughput"):
+        if objective not in ("fairness", "throughput", "adaptive"):
             raise ValueError(f"unknown objective: {objective!r}")
         if batch_group < 1:
             raise ValueError("batch_group must be >= 1")
@@ -167,7 +179,8 @@ class ContinuousBatchingEngine:
                     # reuse SamplingConfig's own validation rules
                     dataclasses.replace(
                         self.sampling, temperature=temp, top_p=topp)
-                state = self.engine._prepare(req.prompt, req.seed)
+                state = self.engine._prepare(req.prompt, req.seed,
+                                             prefix=req.prefix)
             except ValueError as e:
                 # bad request (empty / over-capacity prompt, bad eos list,
                 # bad sampling params): fail it without taking down the
@@ -253,9 +266,10 @@ class ContinuousBatchingEngine:
                 keys = None   # a bad eos list: 1-by-1 so it fails alone
             # requests with sampling overrides never group: in greedy mode
             # they must FAIL (generate_batch would silently run greedy —
-            # the bug the override rejection exists to prevent)
+            # the bug the override rejection exists to prevent); prefix
+            # requests run 1-by-1 (generate_batch has no prefix path)
             no_overrides = all(r.temperature is None and r.top_p is None
-                               for r in group)
+                               and r.prefix is None for r in group)
             if (keys is not None and len(group) > 1 and len(keys) == 1
                     and no_overrides):
                 try:
@@ -291,7 +305,8 @@ class ContinuousBatchingEngine:
                         "pass sampling= to ContinuousBatchingEngine")
                 res = self.engine.generate(
                     req.prompt, req.max_new_tokens,
-                    eos_token_id=req.eos_token_id, seed=req.seed)
+                    eos_token_id=req.eos_token_id, seed=req.seed,
+                    prefix=req.prefix)
             else:
                 cfg = dataclasses.replace(
                     self.sampling,
@@ -302,7 +317,8 @@ class ContinuousBatchingEngine:
                            else req.top_p))
                 res = self.engine.generate_sample(
                     req.prompt, req.max_new_tokens, cfg,
-                    eos_token_id=req.eos_token_id, seed=req.seed)
+                    eos_token_id=req.eos_token_id, seed=req.seed,
+                    prefix=req.prefix)
         except ValueError as e:
             self._fail(req, e)
             return bool(self._queue)
@@ -318,7 +334,17 @@ class ContinuousBatchingEngine:
         if self.objective == "throughput":
             return self._step_sequential()
         self._ensure_batched()
-        self._admit()
+        deep = len(self._queue) > self.num_lanes
+        if self.objective == "adaptive" and deep:
+            if not self._active:
+                # deep backlog, idle lanes: drain the overflow fused; the
+                # final <= num_lanes requests fall through to the lanes
+                self._step_sequential()
+                return bool(self._active or self._queue)
+            # active lanes + deep backlog: let the lanes finish first (a
+            # fused generate would stall them mid-decode), so don't admit
+        else:
+            self._admit()
         if not self._active:
             return bool(self._queue)
         self._batched = self._vstep(

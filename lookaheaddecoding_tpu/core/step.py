@@ -40,6 +40,7 @@ class StepFns(NamedTuple):
     init_state: Callable
     prefill_chunk: Callable
     prefill_all: Callable     # whole-prompt prefill, one jitted call
+    prefill_from: Callable    # suffix-only prefill (prefix caching)
     decode_loop: Callable     # full greedy generation under lax.while_loop
     decode_step: Callable     # single greedy step (streaming / chat mode)
     sample_loop: Callable     # full sampling generation
@@ -174,22 +175,29 @@ def build_step_fns(
             kv_len=jnp.minimum(start + C, state.init_len - 1),
         )
 
-    def prefill_all(params, state: DecodeState):
-        """Whole-prompt prefill as ONE jitted call: a dynamic-trip
-        ``fori_loop`` over C-sized chunks of prompt[:-1] read straight from
-        ``out_buf``. The final chunk is overlap-aligned (start = n-C) so no
-        write lands past the prompt region; a short prompt (n < C) pads
-        within [0, C), whose tail slots stay masked until overwritten."""
+    def prefill_from(params, state: DecodeState, start0):
+        """Prefill prompt[start0:-1] as ONE jitted call: a dynamic-trip
+        ``fori_loop`` over C-sized chunks read straight from ``out_buf``.
+        ``start0 > 0`` is the prefix-cache path: rows [0, start0) already
+        live in the caches. The final chunk is overlap-aligned
+        (start = n-C) so no write lands past the prompt region; a short
+        prompt (n < C) pads within [0, C), whose tail slots stay masked
+        until overwritten. Overlap-aligned chunks may REWRITE a few prefix
+        rows — K/V are position-determined, so the rewrite is idempotent."""
         n = state.init_len - 1
-        n_chunks = jnp.maximum(-(-n // C), 0)
+        n_chunks = jnp.maximum(-(-jnp.maximum(n - start0, 0) // C), 0)
 
         def body(c, s):
-            start = jnp.minimum(c * C, jnp.maximum(n - C, 0))
+            start = jnp.minimum(start0 + c * C, jnp.maximum(n - C, 0))
             tokens = jax.lax.dynamic_slice(s.out_buf, (start,), (C,))
             return prefill_chunk(params, s, tokens, start)
 
         state = jax.lax.fori_loop(0, n_chunks, body, state)
         return state._replace(kv_len=jnp.maximum(n, 0))
+
+    def prefill_all(params, state: DecodeState):
+        """Whole-prompt prefill (prefill_from at start 0)."""
+        return prefill_from(params, state, jnp.int32(0))
 
     # ------------------------------------------------------------------
     # The composite lookahead step (shared by greedy & sampling modes)
@@ -525,6 +533,7 @@ def build_step_fns(
         init_state=init_state,
         prefill_chunk=prefill_chunk,
         prefill_all=prefill_all,
+        prefill_from=prefill_from,
         decode_loop=_loop(decode_step),
         decode_step=decode_step,
         sample_loop=_loop(sample_step),

@@ -5,7 +5,9 @@ Measures, for N requests submitted at once, under THREE schedulers:
   1. raw sequential loop over ``LookaheadEngine.generate`` (no scheduler)
   2. ContinuousBatchingEngine(objective="throughput") — queue + fused
      sequential generates (optionally --batch-group)
-  3. ContinuousBatchingEngine(objective="fairness") — the lane scheduler
+  3. ContinuousBatchingEngine(objective="adaptive") — fused drain while
+     the backlog is deeper than the lanes, lane scheduler for the tail
+  4. ContinuousBatchingEngine(objective="fairness") — the lane scheduler
 
 per scheduler: aggregate tok/s, and the per-request TTFT and end-to-end
 latency distributions (mean / p50 / p99, measured from submit). On one
@@ -138,6 +140,27 @@ def main():
     log(f"  serving[throughput, group={args.batch_group}]: {thr_tokens} tok "
         f"in {thr_s:.2f}s = {thr_tps:.1f} tok/s  {thr_stats}")
 
+    # --- adaptive objective (fused drain for the overflow, lanes for the
+    # tail; compiles both paths, which the two warms above already cover)
+    ada = ContinuousBatchingEngine(
+        eng, num_lanes=args.lanes, steps_per_sync=args.steps_per_sync,
+        sampling=sampling, objective="adaptive",
+        batch_group=args.batch_group)
+    reqs_a = [Request(p, args.new, request_id=i, seed=i)
+              for i, p in enumerate(prompts)]
+    log("compiling adaptive lane path...")
+    t0 = time.time()
+    ada.run([Request(prompts[0], 8, request_id="warm")])
+    log(f"  compile+warm: {time.time()-t0:.1f}s")
+    t0 = time.time()
+    results_a = ada.run(reqs_a)
+    ada_s = time.time() - t0
+    ada_tokens = sum(r.num_generated for r in results_a)
+    ada_tps = ada_tokens / ada_s
+    ada_stats = sched_stats(results_a)
+    log(f"  serving[adaptive, {args.lanes} lanes, group={args.batch_group}]: "
+        f"{ada_tokens} tok in {ada_s:.2f}s = {ada_tps:.1f} tok/s  {ada_stats}")
+
     # --- fairness objective (lane scheduler)
     srv = ContinuousBatchingEngine(
         eng, num_lanes=args.lanes, steps_per_sync=args.steps_per_sync,
@@ -157,7 +180,7 @@ def main():
     log(f"  serving[fairness, {args.lanes} lanes]: {srv_tokens} tok "
         f"in {srv_s:.2f}s = {srv_tps:.1f} tok/s  {srv_stats}")
 
-    best = max(thr_tps, srv_tps)
+    best = max(thr_tps, srv_tps, ada_tps)
     out = {
         "metric": "serving_best_aggregate_tokens_per_sec",
         "value": round(best, 1),
@@ -167,6 +190,8 @@ def main():
             "sequential": {"tok_per_sec": round(seq_tps, 1), **seq_stats},
             "throughput_objective": {"tok_per_sec": round(thr_tps, 1),
                                      **thr_stats},
+            "adaptive_objective": {"tok_per_sec": round(ada_tps, 1),
+                                   **ada_stats},
             "fairness_objective": {"tok_per_sec": round(srv_tps, 1),
                                    **srv_stats},
             "batch_group": args.batch_group,

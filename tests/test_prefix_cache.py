@@ -1,0 +1,146 @@
+"""Prefix caching (shared system-prompt KV reuse): decode results must be
+token-identical to full-prefill runs in every mode, the cached buffers must
+stay reusable across requests, and misuse must fail loud. Beyond the
+reference, which re-prefills every prompt in full (decoding.py:937-939)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import lookaheaddecoding_tpu as lt
+from lookaheaddecoding_tpu.core.serving import ContinuousBatchingEngine, Request
+
+
+def make_engine(kv_quant=None, rope_scaling=None):
+    mcfg = lt.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=512, rope_scaling=rope_scaling,
+        dtype=jnp.float32)
+    params = lt.init_params(mcfg, jax.random.PRNGKey(0), scale=0.5)
+    return lt.LookaheadEngine(
+        mcfg, params,
+        lt.LookaheadConfig(level=4, window_size=5, guess_set_size=4,
+                           pool_from_prompt=True),
+        lt.EngineConfig(max_seq_len=256, prefill_chunk=16, dtype="float32",
+                        kv_quant=kv_quant))
+
+
+RNG = np.random.RandomState(7)
+SYSTEM = list(RNG.randint(0, 128, size=40))   # crosses prefill chunks (16)
+
+
+def suffixed(n, seed):
+    return SYSTEM + list(np.random.RandomState(seed).randint(0, 128, size=n))
+
+
+def test_generate_with_prefix_matches_full_prefill():
+    eng = make_engine()
+    pc = eng.precompute_prefix(SYSTEM)
+    for seed, n_suf in ((1, 9), (2, 17)):
+        prompt = suffixed(n_suf, seed)
+        full = eng.generate(prompt, 32, seed=seed)
+        px = eng.generate(prompt, 32, seed=seed, prefix=pc)
+        np.testing.assert_array_equal(px.tokens, full.tokens)
+        ar_full = eng.generate_baseline(prompt, 32, seed=seed)
+        ar_px = eng.generate_baseline(prompt, 32, seed=seed, prefix=pc)
+        np.testing.assert_array_equal(ar_px.tokens, ar_full.tokens)
+
+
+def test_prefix_reusable_across_many_requests():
+    """The cached buffers are not donated: the SAME PrefixCache must keep
+    producing exact results call after call."""
+    eng = make_engine()
+    pc = eng.precompute_prefix(SYSTEM)
+    for seed in range(4):
+        prompt = suffixed(11, 100 + seed)
+        full = eng.generate(prompt, 24, seed=seed)
+        px = eng.generate(prompt, 24, seed=seed, prefix=pc)
+        np.testing.assert_array_equal(px.tokens, full.tokens)
+
+
+def test_sample_and_stream_with_prefix_match():
+    eng = make_engine()
+    pc = eng.precompute_prefix(SYSTEM)
+    prompt = suffixed(10, 3)
+    scfg = lt.SamplingConfig(temperature=0.8)
+    full = eng.generate_sample(prompt, 20, scfg, seed=9)
+    px = eng.generate_sample(prompt, 20, scfg, seed=9, prefix=pc)
+    np.testing.assert_array_equal(px.tokens, full.tokens)
+
+    got = np.concatenate(list(eng.generate_stream(prompt, 16, prefix=pc)))
+    want = np.concatenate(list(eng.generate_stream(prompt, 16)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_prompt_equal_to_prefix_and_chunk_overlap():
+    """Edge cases: the prompt IS the prefix (empty suffix), and a suffix
+    shorter than the prefill chunk (forces the overlap-aligned chunk to
+    rewrite prefix rows — must be idempotent)."""
+    eng = make_engine()
+    pc = eng.precompute_prefix(SYSTEM)
+    full = eng.generate(SYSTEM, 24)
+    px = eng.generate(SYSTEM, 24, prefix=pc)
+    np.testing.assert_array_equal(px.tokens, full.tokens)
+
+    prompt = suffixed(3, 4)     # 3-token suffix < 16-token chunk
+    full = eng.generate(prompt, 24)
+    px = eng.generate(prompt, 24, prefix=pc)
+    np.testing.assert_array_equal(px.tokens, full.tokens)
+
+
+def test_prefix_with_int8_kv_cache():
+    eng = make_engine(kv_quant="int8")
+    pc = eng.precompute_prefix(SYSTEM)
+    prompt = suffixed(9, 5)
+    full = eng.generate(prompt, 24)
+    px = eng.generate(prompt, 24, prefix=pc)
+    np.testing.assert_array_equal(px.tokens, full.tokens)
+
+
+def test_serving_lanes_share_one_prefix():
+    eng = make_engine()
+    pc = eng.precompute_prefix(SYSTEM)
+    prompts = [suffixed(n, 200 + n) for n in (8, 11, 9, 13, 10)]
+    singles = [eng.generate(p, 16, seed=i) for i, p in enumerate(prompts)]
+    for objective in ("fairness", "throughput", "adaptive"):
+        server = ContinuousBatchingEngine(eng, num_lanes=2,
+                                          objective=objective)
+        results = server.run([
+            Request(prompt=p, max_new_tokens=16, seed=i, request_id=i,
+                    prefix=pc)
+            for i, p in enumerate(prompts)])
+        by_id = {r.request_id: r for r in results}
+        for i, s in enumerate(singles):
+            np.testing.assert_array_equal(by_id[i].tokens, s.tokens,
+                                          err_msg=objective)
+
+
+def test_prefix_misuse_fails_loud():
+    eng = make_engine()
+    pc = eng.precompute_prefix(SYSTEM)
+    with pytest.raises(ValueError, match="does not start with"):
+        eng.generate(list(np.arange(50) % 128), 8, prefix=pc)
+    with pytest.raises(ValueError, match="does not start with"):
+        eng.generate(SYSTEM[:-1], 8, prefix=pc)   # shorter than the prefix
+    with pytest.raises(ValueError, match="empty prefix"):
+        eng.precompute_prefix([])
+    with pytest.raises(ValueError, match="leaves no room"):
+        eng.precompute_prefix(list(np.zeros(250, np.int32)))
+    # a bad prefix request in serving fails alone
+    server = ContinuousBatchingEngine(eng, num_lanes=2)
+    results = server.run([
+        Request(prompt=list(np.arange(30) % 128), max_new_tokens=8,
+                request_id="bad", prefix=pc),
+        Request(prompt=suffixed(5, 6), max_new_tokens=8, request_id="ok",
+                prefix=pc)])
+    by_id = {r.request_id: r for r in results}
+    assert by_id["bad"].error is not None
+    assert by_id["ok"].error is None and by_id["ok"].num_generated == 8
+
+
+def test_prefix_rejected_under_dynamic_ntk():
+    eng = make_engine(rope_scaling=("dynamic", 4.0))
+    with pytest.raises(ValueError, match="dynamic-NTK"):
+        eng.precompute_prefix(SYSTEM)

@@ -299,3 +299,105 @@ def test_batch_group_honors_per_request_seeds():
     for i, s in enumerate(singles):
         np.testing.assert_array_equal(by_id[i].tokens, s.tokens)
         assert by_id[i].steps == s.steps
+
+
+# --------------------------------------------------------------------------
+# adaptive objective: throughput drain for deep backlogs, lanes for the tail
+# --------------------------------------------------------------------------
+
+def test_adaptive_matches_individual_deep_queue():
+    """A backlog deeper than the lanes drains through the fused path, the
+    last <= num_lanes requests go through lanes — every output must still
+    match a standalone generate."""
+    eng = tiny_engine()
+    rng = np.random.RandomState(11)
+    prompts = [list(rng.randint(0, 128, size=n))
+               for n in (10, 13, 9, 11, 8, 12)]    # 6 requests, 2 lanes
+    singles = [eng.generate(p, 18, seed=i) for i, p in enumerate(prompts)]
+    server = ContinuousBatchingEngine(eng, num_lanes=2, objective="adaptive")
+    results = server.run([
+        Request(prompt=p, max_new_tokens=18, seed=i, request_id=i)
+        for i, p in enumerate(prompts)])
+    assert len(results) == 6
+    by_id = {r.request_id: r for r in results}
+    for i, s in enumerate(singles):
+        np.testing.assert_array_equal(by_id[i].tokens, s.tokens)
+    # the overflow (first 4) drained fused: TTFT == end-to-end latency;
+    # the laned tail streams, so TTFT < latency
+    fused = [by_id[i] for i in range(4)]
+    laned = [by_id[i] for i in (4, 5)]
+    assert all(r.ttft_s == r.latency_s for r in fused)
+    assert all(r.ttft_s < r.latency_s for r in laned)
+
+
+def test_adaptive_light_load_uses_lanes():
+    """With the backlog inside lane capacity, adaptive == fairness: every
+    request is laned (streaming TTFT) and outputs match."""
+    eng = tiny_engine()
+    rng = np.random.RandomState(12)
+    prompts = [list(rng.randint(0, 128, size=n)) for n in (10, 9)]
+    singles = [eng.generate(p, 16, seed=i) for i, p in enumerate(prompts)]
+    server = ContinuousBatchingEngine(eng, num_lanes=2, objective="adaptive")
+    results = server.run([
+        Request(prompt=p, max_new_tokens=16, seed=i, request_id=i)
+        for i, p in enumerate(prompts)])
+    by_id = {r.request_id: r for r in results}
+    for i, s in enumerate(singles):
+        np.testing.assert_array_equal(by_id[i].tokens, s.tokens)
+    assert all(r.ttft_s < r.latency_s for r in results)
+
+
+def test_adaptive_burst_after_lanes_active():
+    """Requests arriving while lanes are active: the lanes finish on the
+    lane path, then the deep remainder drains fused. Incremental submit /
+    step driving (the online pattern)."""
+    eng = tiny_engine()
+    rng = np.random.RandomState(13)
+    prompts = [list(rng.randint(0, 128, size=10)) for _ in range(7)]
+    singles = [eng.generate(p, 14, seed=i) for i, p in enumerate(prompts)]
+    server = ContinuousBatchingEngine(eng, num_lanes=2, objective="adaptive")
+    # two requests admitted and started
+    for i in range(2):
+        server.submit(Request(prompt=prompts[i], max_new_tokens=14,
+                              seed=i, request_id=i))
+    server.step()
+    # burst of five lands mid-decode
+    for i in range(2, 7):
+        server.submit(Request(prompt=prompts[i], max_new_tokens=14,
+                              seed=i, request_id=i))
+    while server.step():
+        pass
+    results, server._results = server._results, []
+    assert len(results) == 7
+    by_id = {r.request_id: r for r in results}
+    for i, s in enumerate(singles):
+        np.testing.assert_array_equal(by_id[i].tokens, s.tokens)
+
+
+def test_adaptive_with_batch_group_and_sampling_modes():
+    """adaptive composes with batch_group (greedy drain via generate_batch)
+    and with sampling lanes."""
+    eng = tiny_engine()
+    rng = np.random.RandomState(14)
+    prompts = [list(rng.randint(0, 128, size=10)) for _ in range(5)]
+    singles = [eng.generate(p, 12, seed=i) for i, p in enumerate(prompts)]
+    server = ContinuousBatchingEngine(eng, num_lanes=2, objective="adaptive",
+                                      batch_group=2)
+    results = server.run([
+        Request(prompt=p, max_new_tokens=12, seed=i, request_id=i)
+        for i, p in enumerate(prompts)])
+    by_id = {r.request_id: r for r in results}
+    for i, s in enumerate(singles):
+        np.testing.assert_array_equal(by_id[i].tokens, s.tokens)
+
+    scfg = lt.SamplingConfig(temperature=0.8)
+    s_singles = [eng.generate_sample(p, 10, scfg, seed=i)
+                 for i, p in enumerate(prompts)]
+    server = ContinuousBatchingEngine(eng, num_lanes=2, objective="adaptive",
+                                      sampling=scfg)
+    results = server.run([
+        Request(prompt=p, max_new_tokens=10, seed=i, request_id=i)
+        for i, p in enumerate(prompts)])
+    by_id = {r.request_id: r for r in results}
+    for i, s in enumerate(s_singles):
+        np.testing.assert_array_equal(by_id[i].tokens, s.tokens)
