@@ -32,6 +32,11 @@ def main():
     ap.add_argument("--canned", action="store_true",
                     help="run canned prompts instead of interactive input")
     ap.add_argument("--attention", choices=["xla", "pallas"], default="xla")
+    ap.add_argument("--kv-reuse", action="store_true",
+                    help="carry the conversation KV across turns (prefix "
+                    "caching): each turn prefills only the new user "
+                    "message. History is tokenized per segment so earlier "
+                    "token ids never change.")
     args = ap.parse_args()
     color = int(os.environ.get("COLOR_PRINT", 0))
 
@@ -48,17 +53,21 @@ def main():
     )
 
     history = ""
+    # --kv-reuse state: token-level history (tokenized per segment so ids
+    # are stable) + the previous turn's PrefixCache
+    hist_ids = tok(f"<<SYS>>{SYSTEM_PROMPT}<</SYS>>").input_ids
+    last_px = None
 
-    def turn(user_text):
-        nonlocal history
-        history += f"[INST] {user_text} [/INST]"
-        prompt = tok(f"<<SYS>>{SYSTEM_PROMPT}<</SYS>>{history}").input_ids
-        t0 = time.time()
+    def stream_print(gen, t0):
         n = 0
         pieces = []
         prev = ""
-        for chunk in eng.generate_stream(prompt, args.max_new_tokens,
-                                         eos_token_id=tok.eos_token_id):
+        while True:
+            try:
+                chunk = next(gen)
+            except StopIteration as e:
+                px = e.value
+                break
             n += len(chunk)
             pieces.extend(chunk.tolist())
             text = tok.decode(pieces, skip_special_tokens=True)
@@ -69,6 +78,26 @@ def main():
             prev = text
         dt = time.time() - t0
         print(f"\n[{n} tokens, {n / dt:.1f} tok/s]")
+        return prev, pieces, px
+
+    def turn(user_text):
+        nonlocal history, hist_ids, last_px
+        if args.kv_reuse:
+            hist_ids = hist_ids + tok(f"[INST] {user_text} [/INST]",
+                                      add_special_tokens=False).input_ids
+            prev, pieces, last_px = stream_print(
+                eng.generate_stream(hist_ids, args.max_new_tokens,
+                                    eos_token_id=tok.eos_token_id,
+                                    prefix=last_px, return_prefix=True),
+                time.time())
+            hist_ids = hist_ids + pieces
+            return
+        history += f"[INST] {user_text} [/INST]"
+        prompt = tok(f"<<SYS>>{SYSTEM_PROMPT}<</SYS>>{history}").input_ids
+        prev, _, _ = stream_print(
+            eng.generate_stream(prompt, args.max_new_tokens,
+                                eos_token_id=tok.eos_token_id),
+            time.time())
         history += prev
 
     print("warming up (first compile)...")

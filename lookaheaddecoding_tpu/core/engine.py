@@ -85,6 +85,10 @@ class GenerationResult:
     # time from submit to the first confirmed new token / to completion.
     ttft_s: Optional[float] = None
     latency_s: Optional[float] = None
+    # PrefixCache over this result's confirmed tokens (generate(...,
+    # return_prefix=True)): the next conversation turn prefills only the
+    # new user message. Holds the run's KV buffers alive — opt-in.
+    prefix: Optional[object] = None
 
     @property
     def new_tokens(self) -> np.ndarray:
@@ -285,10 +289,7 @@ class LookaheadEngine:
         return fn
 
     # ------------------------------------------------------------------
-    def precompute_prefix(self, prefix_ids: Sequence[int],
-                          seed: int = 0) -> PrefixCache:
-        """Prefill a shared prompt prefix ONCE into fresh KV buffers (one
-        jitted dispatch); see :class:`PrefixCache`."""
+    def _reject_dynamic_prefix(self):
         if (self.mcfg.rope_scaling is not None
                 and self.mcfg.rope_scaling[0] == "dynamic"):
             # dynamic-NTK keys rope on the FULL prompt length at prefill
@@ -298,6 +299,12 @@ class LookaheadEngine:
             raise ValueError(
                 "prefix caching is not supported with dynamic-NTK rope "
                 "scaling (the rope base depends on the full prompt length)")
+
+    def precompute_prefix(self, prefix_ids: Sequence[int],
+                          seed: int = 0) -> PrefixCache:
+        """Prefill a shared prompt prefix ONCE into fresh KV buffers (one
+        jitted dispatch); see :class:`PrefixCache`."""
+        self._reject_dynamic_prefix()
         prefix = np.asarray(prefix_ids, np.int32).reshape(-1)
         P0 = len(prefix)
         M = self.ecfg.max_seq_len
@@ -414,15 +421,25 @@ class LookaheadEngine:
         return res
 
     def _finalize(
-        self, state: DecodeState, max_new: int, t0: float
+        self, state: DecodeState, max_new: int, t0: float,
+        return_prefix: bool = False,
     ) -> GenerationResult:
         # one batched device->host transfer (each scalar int() would be its
         # own round trip over a remote-TPU link)
-        n_confirmed, init_len, step_idx, out_buf = jax.device_get(
+        n_confirmed, init_len, step_idx, out_buf, kv_len = jax.device_get(
             (state.n_confirmed, state.init_len, state.step_idx,
-             state.out_buf))
-        return self._build_result(n_confirmed, init_len, step_idx, out_buf,
-                                  max_new, time.perf_counter() - t0)
+             state.out_buf, state.kv_len))
+        res = self._build_result(n_confirmed, init_len, step_idx, out_buf,
+                                 max_new, time.perf_counter() - t0)
+        if return_prefix:
+            # KV rows [0, kv_len) are the committed, canonical cache for
+            # out_buf[:kv_len]; clamp to the trimmed result so the prefix
+            # tokens are a prefix of res.tokens (conversation reuse)
+            L = min(int(kv_len), len(res.tokens))
+            res.prefix = PrefixCache(
+                tokens=np.asarray(res.tokens[:L], np.int32),
+                k_cache=state.k_cache, v_cache=state.v_cache, length=L)
+        return res
 
     # ------------------------------------------------------------------
     def generate(
@@ -432,19 +449,26 @@ class LookaheadEngine:
         eos_token_id: Optional[int] = None,
         seed: int = 0,
         prefix: Optional[PrefixCache] = None,
+        return_prefix: bool = False,
     ) -> GenerationResult:
         """Greedy lookahead generation (reference
         jacobi_greedy_search_multilevel, decoding.py:697-1259). ``prefix``
-        reuses a :meth:`precompute_prefix` KV cache: prefill covers only
-        the prompt past the shared prefix."""
+        reuses a :meth:`precompute_prefix` (or prior-result) KV cache:
+        prefill covers only the prompt past the shared prefix.
+        ``return_prefix`` attaches ``result.prefix``, a PrefixCache over
+        this result's confirmed tokens — the next conversation turn passes
+        it back and prefills only the new user message."""
         t0 = time.perf_counter()
+        if return_prefix:
+            self._reject_dynamic_prefix()
         fused = (self._fused_greedy if prefix is None else
                  self._fused_with_prefix(
                      "greedy", lambda: self._fns.decode_loop))
         state = self._run_fused(fused, prompt_ids, seed,
                                 max_new_tokens, _eos_vec(eos_token_id),
                                 prefix=prefix)
-        return self._finalize(state, max_new_tokens, t0)
+        return self._finalize(state, max_new_tokens, t0,
+                              return_prefix=return_prefix)
 
     def generate_sample(
         self,
@@ -454,6 +478,7 @@ class LookaheadEngine:
         eos_token_id: Optional[int] = None,
         seed: int = 0,
         prefix: Optional[PrefixCache] = None,
+        return_prefix: bool = False,
     ) -> GenerationResult:
         """Sampling lookahead generation with SpecInfer-style verification
         (reference jacobi_sample_multilevel, decoding.py:137-692). Preserves
@@ -482,7 +507,8 @@ class LookaheadEngine:
             loop, prompt_ids, seed, max_new_tokens, _eos_vec(eos_token_id),
             jnp.float32(sampling.temperature), jnp.float32(sampling.top_p),
             prefix=prefix)
-        return self._finalize(state, max_new_tokens, t0)
+        return self._finalize(state, max_new_tokens, t0,
+                              return_prefix=return_prefix)
 
     def generate_batch(
         self,
@@ -551,17 +577,21 @@ class LookaheadEngine:
         eos_token_id: Optional[int] = None,
         seed: int = 0,
         prefix: Optional[PrefixCache] = None,
+        return_prefix: bool = False,
     ) -> GenerationResult:
         """Vanilla autoregressive greedy decoding on the same weights/KV
         machinery — the comparison target for exactness and speedup."""
         t0 = time.perf_counter()
+        if return_prefix:
+            self._reject_dynamic_prefix()
         fused = (self._fused_baseline if prefix is None else
                  self._fused_with_prefix(
                      "baseline", lambda: self._fns.baseline_loop))
         state = self._run_fused(fused, prompt_ids, seed,
                                 max_new_tokens, _eos_vec(eos_token_id),
                                 prefix=prefix)
-        return self._finalize(state, max_new_tokens, t0)
+        return self._finalize(state, max_new_tokens, t0,
+                              return_prefix=return_prefix)
 
     def generate_stream(
         self,
@@ -571,11 +601,18 @@ class LookaheadEngine:
         seed: int = 0,
         lookahead: bool = True,
         prefix: Optional[PrefixCache] = None,
+        return_prefix: bool = False,
     ) -> Iterator[np.ndarray]:
         """Streaming mode: yields the newly accepted token ids after every
         decode step (chat-mode analog; ``lookahead=False`` is the plain
         streaming greedy loop, reference greedy_search_chat
-        decoding.py:1266-1548)."""
+        decoding.py:1266-1548). With ``return_prefix=True`` the generator's
+        StopIteration VALUE is a PrefixCache over the finished conversation
+        (catch it via ``except StopIteration as e: pc = e.value`` or drive
+        with ``yield from``) — the next turn prefills only the new user
+        message."""
+        if return_prefix:
+            self._reject_dynamic_prefix()
         state = self._prepare(prompt_ids, seed, prefix=prefix)
         eos = _eos_vec(eos_token_id)
         max_new = jnp.int32(max_new_tokens)
@@ -594,3 +631,9 @@ class LookaheadEngine:
                 served = n
             if bool(finished):
                 break
+        if return_prefix:
+            kv_len, out_buf = jax.device_get((state.kv_len, state.out_buf))
+            L = min(int(kv_len), init_len + max_new_tokens)
+            return PrefixCache(tokens=np.asarray(out_buf[:L], np.int32),
+                               k_cache=state.k_cache,
+                               v_cache=state.v_cache, length=L)

@@ -144,3 +144,64 @@ def test_prefix_rejected_under_dynamic_ntk():
     eng = make_engine(rope_scaling=("dynamic", 4.0))
     with pytest.raises(ValueError, match="dynamic-NTK"):
         eng.precompute_prefix(SYSTEM)
+
+
+def test_conversation_kv_reuse_across_turns():
+    """return_prefix=True chains turns: each turn passes the previous
+    result's PrefixCache and prefills only the new user message —
+    token-identical to full prefill every turn."""
+    eng = make_engine()
+    turn1 = SYSTEM + list(np.random.RandomState(31).randint(0, 128, size=8))
+    r1 = eng.generate(turn1, 16, return_prefix=True)
+    assert r1.prefix is not None
+    # the cached tokens must be a prefix of the running conversation
+    np.testing.assert_array_equal(
+        r1.prefix.tokens, r1.tokens[:r1.prefix.length])
+
+    msg2 = list(np.random.RandomState(32).randint(0, 128, size=7))
+    turn2 = list(r1.tokens) + msg2
+    full2 = eng.generate(turn2, 16)
+    px2 = eng.generate(turn2, 16, prefix=r1.prefix, return_prefix=True)
+    np.testing.assert_array_equal(px2.tokens, full2.tokens)
+
+    msg3 = list(np.random.RandomState(33).randint(0, 128, size=5))
+    turn3 = list(px2.tokens) + msg3
+    full3 = eng.generate(turn3, 12)
+    px3 = eng.generate(turn3, 12, prefix=px2.prefix)
+    np.testing.assert_array_equal(px3.tokens, full3.tokens)
+
+    # baseline decode carries the same chain
+    rb = eng.generate_baseline(turn1, 16, return_prefix=True)
+    turn2b = list(rb.tokens) + msg2
+    full2b = eng.generate_baseline(turn2b, 16)
+    px2b = eng.generate_baseline(turn2b, 16, prefix=rb.prefix)
+    np.testing.assert_array_equal(px2b.tokens, full2b.tokens)
+
+
+def test_return_prefix_rejected_under_dynamic_ntk():
+    eng = make_engine(rope_scaling=("dynamic", 4.0))
+    with pytest.raises(ValueError, match="dynamic-NTK"):
+        eng.generate(SYSTEM, 8, return_prefix=True)
+
+
+def test_stream_return_prefix_chains_turns():
+    """generate_stream(return_prefix=True) returns the PrefixCache as the
+    generator's StopIteration value; chaining it must stay exact."""
+    eng = make_engine()
+    turn1 = SYSTEM + list(np.random.RandomState(41).randint(0, 128, size=8))
+    gen = eng.generate_stream(turn1, 16, return_prefix=True)
+    pieces = []
+    while True:
+        try:
+            pieces.extend(next(gen).tolist())
+        except StopIteration as e:
+            px = e.value
+            break
+    assert px is not None
+    conv = turn1 + pieces
+    np.testing.assert_array_equal(px.tokens, conv[:px.length])
+
+    turn2 = conv + list(np.random.RandomState(42).randint(0, 128, size=6))
+    full = np.concatenate(list(eng.generate_stream(turn2, 12)))
+    chained = np.concatenate(list(eng.generate_stream(turn2, 12, prefix=px)))
+    np.testing.assert_array_equal(chained, full)
