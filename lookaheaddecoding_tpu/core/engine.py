@@ -213,6 +213,7 @@ class LookaheadEngine:
         self._sample_loops = {}   # top_k -> jitted sampling loop
         self._vfused = None       # batched fused generate (built lazily)
         self._fused_px = {}       # prefix-cache fused variants (lazy)
+        self._vfused_px = None    # batched generate with a shared prefix
         self._fused_precompute = None
         # Fused dispatches: alloc + init + pool fill + prefill (+ decode
         # loop) in ONE jit call. Over a remote-TPU link every jit call and
@@ -517,6 +518,7 @@ class LookaheadEngine:
         eos_token_id=None,
         seed: int = 0,
         seeds: Optional[Sequence[int]] = None,
+        prefix: Optional[PrefixCache] = None,
     ) -> list:
         """Batched greedy lookahead decoding: every request runs the full
         per-sequence lookahead machinery (own window, pool, KV cache) under
@@ -526,7 +528,11 @@ class LookaheadEngine:
 
         ``seeds`` gives every prompt its exact per-request seed (matching a
         standalone ``generate(p, n, seed=seeds[i])``); default ``seed + i``.
-        """
+
+        ``prefix`` is ONE shared PrefixCache (e.g. the batch's common
+        system prompt): every prompt must start with its tokens; the
+        cached KV broadcasts across lanes and each lane prefills only its
+        own suffix."""
         t0 = time.perf_counter()
         if not prompts:
             raise ValueError("generate_batch needs at least one prompt")
@@ -534,6 +540,9 @@ class LookaheadEngine:
             raise ValueError("seeds must match prompts in length")
         if seeds is None:
             seeds = [seed + i for i in range(len(prompts))]
+        if prefix is not None:
+            for pr in prompts:
+                self._check_prefix(prefix, pr)
         args = [self._host_args(p, s, max_new_tokens)
                 for p, s in zip(prompts, seeds)]
         out_bufs = jnp.stack([a[0] for a in args])
@@ -544,22 +553,49 @@ class LookaheadEngine:
             fills = tuple(
                 jnp.stack([jnp.asarray(a[3][j]) for a in args])
                 for j in range(4))
-        if self._vfused is None:
-            prep = self._make_fused(None)
+        if prefix is None:
+            if self._vfused is None:
+                prep = self._make_fused(None)
 
-            def bcall(params, out_bufs, ps, rngs, fills, max_new, eos):
-                states = jax.vmap(
-                    prep, in_axes=(None, 0, 0, 0,
-                                   None if fills is None else 0))(
-                    params, out_bufs, ps, rngs, fills)
-                return jax.vmap(
-                    self._fns.decode_loop, in_axes=(None, 0, None, None))(
-                    params, states, max_new, eos)
+                def bcall(params, out_bufs, ps, rngs, fills, max_new, eos):
+                    states = jax.vmap(
+                        prep, in_axes=(None, 0, 0, 0,
+                                       None if fills is None else 0))(
+                        params, out_bufs, ps, rngs, fills)
+                    return jax.vmap(
+                        self._fns.decode_loop,
+                        in_axes=(None, 0, None, None))(
+                        params, states, max_new, eos)
 
-            self._vfused = jax.jit(bcall, donate_argnums=self._don)
-        batched = self._vfused(self.params, out_bufs, ps, rngs, fills,
-                               jnp.int32(max_new_tokens),
-                               _eos_vec(eos_token_id))
+                self._vfused = jax.jit(bcall, donate_argnums=self._don)
+            batched = self._vfused(self.params, out_bufs, ps, rngs, fills,
+                                   jnp.int32(max_new_tokens),
+                                   _eos_vec(eos_token_id))
+        else:
+            if self._vfused_px is None:
+                prep_px = self._make_fused_prefix(None)
+
+                def bcall_px(params, out_bufs, ps, rngs, fills,
+                             pk, pv, plen, max_new, eos):
+                    # the shared prefix KV broadcasts (in_axes=None): XLA
+                    # materializes each lane's private copy only when the
+                    # lane first writes its suffix rows
+                    states = jax.vmap(
+                        prep_px, in_axes=(None, 0, 0, 0,
+                                          None if fills is None else 0,
+                                          None, None, None))(
+                        params, out_bufs, ps, rngs, fills, pk, pv, plen)
+                    return jax.vmap(
+                        self._fns.decode_loop,
+                        in_axes=(None, 0, None, None))(
+                        params, states, max_new, eos)
+
+                self._vfused_px = jax.jit(bcall_px, donate_argnums=self._don)
+            batched = self._vfused_px(self.params, out_bufs, ps, rngs,
+                                      fills, prefix.k_cache, prefix.v_cache,
+                                      jnp.int32(prefix.length),
+                                      jnp.int32(max_new_tokens),
+                                      _eos_vec(eos_token_id))
         # one batched readback for every lane's scalars + tokens
         n_conf, init_len, steps, bufs = jax.device_get(
             (batched.n_confirmed, batched.init_len, batched.step_idx,

@@ -267,17 +267,20 @@ class ContinuousBatchingEngine:
             # requests with sampling overrides never group: in greedy mode
             # they must FAIL (generate_batch would silently run greedy —
             # the bug the override rejection exists to prevent); prefix
-            # requests run 1-by-1 (generate_batch has no prefix path)
+            # requests group only when every request shares the SAME
+            # PrefixCache (generate_batch broadcasts one shared prefix)
             no_overrides = all(r.temperature is None and r.top_p is None
-                               and r.prefix is None for r in group)
+                               for r in group)
+            shared_px = {id(r.prefix) for r in group}
             if (keys is not None and len(group) > 1 and len(keys) == 1
-                    and no_overrides):
+                    and no_overrides and len(shared_px) == 1):
                 try:
                     outs = self.engine.generate_batch(
                         [r.prompt for r in group],
                         group[0].max_new_tokens,
                         eos_token_id=group[0].eos_token_id,
-                        seeds=[r.seed for r in group])
+                        seeds=[r.seed for r in group],
+                        prefix=group[0].prefix)
                     now = time.perf_counter()
                     for r, o, t in zip(group, outs, submits):
                         o.request_id = r.request_id

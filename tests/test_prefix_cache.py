@@ -205,3 +205,40 @@ def test_stream_return_prefix_chains_turns():
     full = np.concatenate(list(eng.generate_stream(turn2, 12)))
     chained = np.concatenate(list(eng.generate_stream(turn2, 12, prefix=px)))
     np.testing.assert_array_equal(chained, full)
+
+
+def test_generate_batch_with_shared_prefix():
+    """One PrefixCache broadcasts across vmapped lanes; each lane prefills
+    only its own suffix — results match standalone generates."""
+    eng = make_engine()
+    pc = eng.precompute_prefix(SYSTEM)
+    prompts = [suffixed(n, 300 + n) for n in (7, 12, 9)]
+    singles = [eng.generate(p, 16, seed=50 + i)
+               for i, p in enumerate(prompts)]
+    outs = eng.generate_batch(prompts, 16,
+                              seeds=[50 + i for i in range(3)], prefix=pc)
+    for o, s in zip(outs, singles):
+        np.testing.assert_array_equal(o.tokens, s.tokens)
+    # a prompt that doesn't start with the prefix fails the whole batch
+    # loudly (validated before any device work)
+    with pytest.raises(ValueError, match="does not start with"):
+        eng.generate_batch([prompts[0], list(np.arange(50) % 128)], 8,
+                           prefix=pc)
+
+
+def test_serving_batch_group_groups_same_prefix():
+    """batch_group in the throughput path fuses same-prefix requests via
+    generate_batch; results stay exact."""
+    eng = make_engine()
+    pc = eng.precompute_prefix(SYSTEM)
+    prompts = [suffixed(n, 400 + n) for n in (8, 8, 8, 8)]
+    singles = [eng.generate(p, 12, seed=i) for i, p in enumerate(prompts)]
+    server = ContinuousBatchingEngine(eng, objective="throughput",
+                                      batch_group=2)
+    results = server.run([
+        Request(prompt=p, max_new_tokens=12, seed=i, request_id=i,
+                prefix=pc)
+        for i, p in enumerate(prompts)])
+    by_id = {r.request_id: r for r in results}
+    for i, s in enumerate(singles):
+        np.testing.assert_array_equal(by_id[i].tokens, s.tokens)
