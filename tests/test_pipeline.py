@@ -103,3 +103,29 @@ def test_pp_requires_divisible_layers_and_mesh():
             cfg4, params4, LCFG,
             lt.EngineConfig(max_seq_len=128, prefill_chunk=16,
                             dtype="float32", pp=2), mesh=mesh4)
+
+
+def test_prefix_cache_composes_with_pp_and_tp():
+    """PrefixCache built on a sharded engine keeps its cache shardings as
+    it round-trips through later generates; decode stays token-identical
+    to the unsharded full-prefill reference under pp=2 and pp=2 x tp=2."""
+    cfg, params = _model()
+    rng = np.random.RandomState(9)
+    system = list(rng.randint(1, 256, size=24))
+    prompt = system + list(rng.randint(1, 256, size=8))
+    ref = lt.LookaheadEngine(
+        cfg, params, LCFG,
+        lt.EngineConfig(max_seq_len=128, prefill_chunk=16,
+                        dtype="float32")).generate(prompt, 24)
+
+    for kwargs in (dict(pp=2), dict(pp=2, tp=2)):
+        mesh = make_mesh(**kwargs)
+        sharded = shard_params(params, mesh, cfg)
+        eng = lt.LookaheadEngine(
+            cfg, sharded, LCFG,
+            lt.EngineConfig(max_seq_len=128, prefill_chunk=16,
+                            dtype="float32", **kwargs), mesh=mesh)
+        pc = eng.precompute_prefix(system)
+        out = eng.generate(prompt, 24, prefix=pc)
+        np.testing.assert_array_equal(out.tokens, ref.tokens,
+                                      err_msg=str(kwargs))

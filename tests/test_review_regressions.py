@@ -55,17 +55,26 @@ def test_bfloat16_checkpoint_roundtrip(tmp_path):
 
 
 def test_unsupported_rope_scaling_fails_loud():
+    """llama3/yarn are implemented now (tests/test_llama_vs_hf.py); the
+    fail-loud guard must still catch the kinds that are NOT (longrope)."""
     class FakeCfg:
         vocab_size = 64; hidden_size = 32; intermediate_size = 64
         num_hidden_layers = 2; num_attention_heads = 4
         num_key_value_heads = 2; rms_norm_eps = 1e-5
         max_position_embeddings = 128
+        rope_scaling = {"rope_type": "longrope",
+                        "short_factor": [1.0] * 8, "long_factor": [2.0] * 8,
+                        "original_max_position_embeddings": 64}
+
+    with pytest.raises(NotImplementedError, match="longrope"):
+        LlamaConfig.from_hf(FakeCfg())
+
+    class Llama3Cfg(FakeCfg):
         rope_scaling = {"rope_type": "llama3", "factor": 8.0,
                         "low_freq_factor": 1.0, "high_freq_factor": 4.0,
                         "original_max_position_embeddings": 8192}
 
-    with pytest.raises(NotImplementedError, match="llama3"):
-        LlamaConfig.from_hf(FakeCfg())
+    assert LlamaConfig.from_hf(Llama3Cfg()).rope_scaling[0] == "llama3"
 
 
 def test_shard_params_handles_bias_models():
