@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--canned", action="store_true",
                     help="run canned prompts instead of interactive input")
     ap.add_argument("--attention", choices=["xla", "pallas"], default="xla")
+    ap.add_argument("--max-seq-len", type=int, default=2048)
+    ap.add_argument("--prefill-chunk", type=int, default=128)
     ap.add_argument("--kv-reuse", action="store_true",
                     help="carry the conversation KV across turns (prefix "
                     "caching): each turn prefills only the new user "
@@ -49,7 +51,8 @@ def main():
         lt.LookaheadConfig(level=args.level, window_size=args.window,
                            guess_set_size=args.guess, pool_from_prompt=True,
                            attention_impl=args.attention),
-        lt.EngineConfig(max_seq_len=2048, prefill_chunk=128),
+        lt.EngineConfig(max_seq_len=args.max_seq_len,
+                        prefill_chunk=args.prefill_chunk),
     )
 
     history = ""
