@@ -487,6 +487,8 @@ class LookaheadEngine:
         from ..config import SamplingConfig
         sampling = sampling or SamplingConfig()
         t0 = time.perf_counter()
+        if return_prefix:
+            self._reject_dynamic_prefix()
         use_top_p = sampling.top_p < 1.0
         key = (sampling.top_k, use_top_p)
 

@@ -10,7 +10,6 @@ Run ON TPU: env PYTHONPATH=/root/repo:/root/.axon_site \
     python scripts/int8_micro.py
 """
 import json
-import os
 import sys
 import time
 
@@ -32,8 +31,8 @@ def timeit(f, *args, reps=50):
 def main():
     import jax
     import jax.numpy as jnp
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/jax_lade"))
+    from lookaheaddecoding_tpu.utils.tuning import enable_compile_cache
+    enable_compile_cache()
     from lookaheaddecoding_tpu.ops import quant_matmul as qm
     from lookaheaddecoding_tpu.ops.quant import (dequantize_weight,
                                                  quantize_weight)

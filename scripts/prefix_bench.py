@@ -33,9 +33,8 @@ def main():
     args = ap.parse_args()
 
     import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/jax_lade"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    from lookaheaddecoding_tpu.utils.tuning import enable_compile_cache
+    enable_compile_cache()
     import lookaheaddecoding_tpu as lt
     from bench import build_predictable_tinyllama
 

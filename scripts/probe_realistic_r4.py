@@ -10,7 +10,6 @@ Run ON TPU: env PYTHONPATH=/root/repo:/root/.axon_site \
     python scripts/probe_realistic_r4.py [scales...]
 """
 import json
-import os
 import sys
 import time
 
@@ -49,9 +48,8 @@ def measure(eng, prompt, n_new, nxt, reps=3):
 
 def main():
     import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/jax_lade"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    from lookaheaddecoding_tpu.utils.tuning import enable_compile_cache
+    enable_compile_cache()
     import lookaheaddecoding_tpu as lt
     from lookaheaddecoding_tpu.models.llama import fuse_params
     from lookaheaddecoding_tpu.ops.quant import quantize_params

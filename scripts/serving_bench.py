@@ -204,11 +204,10 @@ def main():
                 float(np.mean([r.compression_ratio for r in results])), 2),
         },
     }
-    os.makedirs(os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "data"), exist_ok=True)
-    with open(os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "data",
-            "serving_latency.json"), "w") as f:
+    data_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "data")
+    os.makedirs(data_dir, exist_ok=True)
+    with open(os.path.join(data_dir, "serving_latency.json"), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 

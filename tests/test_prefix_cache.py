@@ -182,6 +182,13 @@ def test_return_prefix_rejected_under_dynamic_ntk():
     eng = make_engine(rope_scaling=("dynamic", 4.0))
     with pytest.raises(ValueError, match="dynamic-NTK"):
         eng.generate(SYSTEM, 8, return_prefix=True)
+    # every entry point that can hand out a PrefixCache must refuse:
+    # sampling is the main chat path, so a silent leak here would put
+    # stale-rope KV under the likeliest conversation-reuse use case
+    with pytest.raises(ValueError, match="dynamic-NTK"):
+        eng.generate_sample(SYSTEM, 8, return_prefix=True)
+    with pytest.raises(ValueError, match="dynamic-NTK"):
+        eng.generate_baseline(SYSTEM, 8, return_prefix=True)
 
 
 def test_stream_return_prefix_chains_turns():
