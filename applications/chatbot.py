@@ -34,6 +34,13 @@ def main():
     ap.add_argument("--attention", choices=["xla", "pallas"], default="xla")
     ap.add_argument("--max-seq-len", type=int, default=2048)
     ap.add_argument("--prefill-chunk", type=int, default=128)
+    ap.add_argument("--do-sample", action="store_true",
+                    help="stream the SpecInfer-verified sampling decode "
+                    "instead of greedy (beyond the reference, whose chat "
+                    "mode is greedy-only)")
+    ap.add_argument("--temperature", type=float, default=0.7)
+    ap.add_argument("--top-k", type=int, default=0)
+    ap.add_argument("--top-p", type=float, default=1.0)
     ap.add_argument("--kv-reuse", action="store_true",
                     help="carry the conversation KV across turns (prefix "
                     "caching): each turn prefills only the new user "
@@ -54,6 +61,9 @@ def main():
         lt.EngineConfig(max_seq_len=args.max_seq_len,
                         prefill_chunk=args.prefill_chunk),
     )
+    sampling = (lt.SamplingConfig(temperature=args.temperature,
+                                  top_k=args.top_k, top_p=args.top_p)
+                if args.do_sample else None)
 
     history = ""
     # --kv-reuse state: token-level history (tokenized per segment so ids
@@ -91,6 +101,7 @@ def main():
             prev, pieces, last_px = stream_print(
                 eng.generate_stream(hist_ids, args.max_new_tokens,
                                     eos_token_id=tok.eos_token_id,
+                                    sampling=sampling,
                                     prefix=last_px, return_prefix=True),
                 time.time())
             hist_ids = hist_ids + pieces
@@ -99,7 +110,8 @@ def main():
         prompt = tok(f"<<SYS>>{SYSTEM_PROMPT}<</SYS>>{history}").input_ids
         prev, _, _ = stream_print(
             eng.generate_stream(prompt, args.max_new_tokens,
-                                eos_token_id=tok.eos_token_id),
+                                eos_token_id=tok.eos_token_id,
+                                sampling=sampling),
             time.time())
         history += prev
 

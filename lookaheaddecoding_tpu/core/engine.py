@@ -210,7 +210,8 @@ class LookaheadEngine:
         self._step = jax.jit(fns.decode_step, donate_argnums=self._don)
         self._baseline = jax.jit(fns.baseline_loop, donate_argnums=self._don)
         self._baseline_step = jax.jit(fns.baseline_step, donate_argnums=self._don)
-        self._sample_loops = {}   # top_k -> jitted sampling loop
+        self._sample_loops = {}   # (top_k, use_top_p) -> jitted sampling loop
+        self._sample_steps = {}   # (top_k, use_top_p) -> jitted per-step fn
         self._vfused = None       # batched fused generate (built lazily)
         self._fused_px = {}       # prefix-cache fused variants (lazy)
         self._vfused_px = None    # batched generate with a shared prefix
@@ -638,27 +639,48 @@ class LookaheadEngine:
         eos_token_id: Optional[int] = None,
         seed: int = 0,
         lookahead: bool = True,
+        sampling: "SamplingConfig" = None,
         prefix: Optional[PrefixCache] = None,
         return_prefix: bool = False,
     ) -> Iterator[np.ndarray]:
         """Streaming mode: yields the newly accepted token ids after every
         decode step (chat-mode analog; ``lookahead=False`` is the plain
         streaming greedy loop, reference greedy_search_chat
-        decoding.py:1266-1548). With ``return_prefix=True`` the generator's
-        StopIteration VALUE is a PrefixCache over the finished conversation
-        (catch it via ``except StopIteration as e: pc = e.value`` or drive
-        with ``yield from``) — the next turn prefills only the new user
-        message."""
+        decoding.py:1266-1548). ``sampling`` streams the SpecInfer-verified
+        sampling decode instead of greedy — beyond the reference, whose
+        chat mode is greedy-only. With ``return_prefix=True`` the
+        generator's StopIteration VALUE is a PrefixCache over the finished
+        conversation (catch it via ``except StopIteration as e:
+        pc = e.value`` or drive with ``yield from``) — the next turn
+        prefills only the new user message."""
         if return_prefix:
             self._reject_dynamic_prefix()
         state = self._prepare(prompt_ids, seed, prefix=prefix)
         eos = _eos_vec(eos_token_id)
         max_new = jnp.int32(max_new_tokens)
-        step = self._step if lookahead else self._baseline_step
+        extra = ()
+        if sampling is None:
+            step = self._step if lookahead else self._baseline_step
+        else:
+            if not lookahead:
+                raise ValueError(
+                    "sampling streaming requires lookahead=True (the "
+                    "baseline streaming loop is greedy, as in reference "
+                    "greedy_search_chat)")
+            key = (sampling.top_k, sampling.top_p < 1.0)
+            step = self._sample_steps.get(key)
+            if step is None:
+                fns = build_step_fns(self.mcfg, self.lcfg, self.ecfg,
+                                     self.layout, top_k=sampling.top_k,
+                                     use_top_p=key[1], mesh=self.mesh)
+                step = jax.jit(fns.sample_step, donate_argnums=self._don)
+                self._sample_steps[key] = step
+            extra = (jnp.float32(sampling.temperature),
+                     jnp.float32(sampling.top_p))
         init_len = int(state.init_len)
         served = init_len
         while True:
-            state = step(self.params, state, max_new, eos)
+            state = step(self.params, state, max_new, eos, *extra)
             # one batched readback for the per-step scalars (each int()
             # would be its own round trip over a remote link)
             finished, n_conf = jax.device_get(

@@ -36,7 +36,11 @@ def _fake_load(model, dtype=None):
     return mcfg, params, StubTokenizer()
 
 
-@pytest.mark.parametrize("extra", [[], ["--kv-reuse"]])
+@pytest.mark.parametrize("extra", [
+    [], ["--kv-reuse"],
+    ["--do-sample", "--temperature", "0.9", "--top-k", "16"],
+    ["--kv-reuse", "--do-sample"],
+])
 def test_chatbot_canned_smoke(monkeypatch, capsys, extra):
     monkeypatch.setattr(lt, "load_pretrained", _fake_load)
     monkeypatch.setattr(sys, "argv", [

@@ -80,6 +80,23 @@ def test_baseline_streaming_matches_baseline():
     np.testing.assert_array_equal(np.concatenate(chunks), base.new_tokens)
 
 
+def test_sampling_streaming_matches_oneshot():
+    """generate_stream(sampling=...) runs the same SpecInfer sample step
+    sequence from the same rng as generate_sample — identical tokens."""
+    import lookaheaddecoding_tpu as lt
+    eng = tiny_engine()
+    prompt = list(np.random.RandomState(2).randint(0, 128, size=10))
+    scfg = lt.SamplingConfig(temperature=0.9, top_k=20, top_p=0.95)
+    oneshot = eng.generate_sample(prompt, 40, scfg, seed=7)
+    chunks = list(eng.generate_stream(prompt, 40, seed=7, sampling=scfg))
+    np.testing.assert_array_equal(np.concatenate(chunks),
+                                  oneshot.new_tokens)
+    # the baseline streaming loop is greedy-only (reference
+    # greedy_search_chat): sampling without lookahead must fail loud
+    with pytest.raises(ValueError, match="lookahead"):
+        next(eng.generate_stream(prompt, 8, lookahead=False, sampling=scfg))
+
+
 def test_multiple_eos_ids():
     eng = tiny_engine()
     prompt = list(np.random.RandomState(0).randint(0, 128, size=12))
