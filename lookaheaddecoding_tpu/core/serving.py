@@ -37,6 +37,12 @@ class Request:
     # shared-prompt KV reuse: a LookaheadEngine.precompute_prefix result;
     # the prompt must start with its tokens (system-prompt caching)
     prefix: Optional[object] = None
+    # per-request streaming: called with each np.ndarray of NEWLY confirmed
+    # token ids as the scheduler observes them (lane mode: once per sync,
+    # i.e. every steps_per_sync decode steps; throughput/adaptive fused
+    # drains deliver the whole output in one call at completion — the same
+    # trade the TTFT accounting records). Exceptions propagate to step().
+    on_tokens: Optional[object] = None
 
 
 class ContinuousBatchingEngine:
@@ -136,6 +142,7 @@ class ContinuousBatchingEngine:
         self._results: List[GenerationResult] = []
         self._t0: Dict[int, float] = {}        # lane -> admission time
         self._submit_t: Dict[int, float] = {}  # lane -> submit time
+        self._served: Dict[int, int] = {}      # lane -> tokens streamed out
 
     # ------------------------------------------------------------------
     def submit(self, request: Request) -> None:
@@ -196,6 +203,8 @@ class ContinuousBatchingEngine:
             if self.sampling is not None:
                 self._temp[lane] = temp
                 self._topp[lane] = topp
+            if req.on_tokens is not None:
+                self._served[lane] = len(req.prompt)
             self._active[lane] = req
 
     def _observe(self) -> tuple:
@@ -213,6 +222,26 @@ class ContinuousBatchingEngine:
         return np.asarray(finished), np.asarray(n_confirmed), \
             np.asarray(init_len)
 
+    def _emit_stream(self, n_confirmed, init_len) -> None:
+        """Deliver newly confirmed tokens to requests that stream
+        (Request.on_tokens). One out_buf readback per sync, and only when
+        some streaming lane actually has new tokens."""
+        pending = []
+        for lane, req in self._active.items():
+            if lane not in self._served:
+                continue
+            total = min(int(n_confirmed[lane]),
+                        int(init_len[lane]) + req.max_new_tokens)
+            if total > self._served[lane]:
+                pending.append((lane, req, total))
+        if not pending:
+            return
+        out_buf = np.asarray(self._batched.out_buf)
+        for lane, req, total in pending:
+            chunk = out_buf[lane, self._served[lane]:total].copy()
+            self._served[lane] = total
+            req.on_tokens(chunk)
+
     def _harvest(self, finished, n_confirmed, init_len) -> None:
         done = [l for l in list(self._active) if finished[l]]
         if not done:
@@ -222,6 +251,7 @@ class ContinuousBatchingEngine:
         now = time.perf_counter()
         for lane in done:
             req = self._active.pop(lane)
+            self._served.pop(lane, None)
             total = min(int(n_confirmed[lane]),
                         int(init_len[lane]) + req.max_new_tokens)
             t_submit = self._submit_t.pop(lane)
@@ -288,6 +318,8 @@ class ContinuousBatchingEngine:
                         # so TTFT == end-to-end latency (the honest cost of
                         # the throughput objective)
                         o.latency_s = o.ttft_s = now - t
+                        if r.on_tokens is not None:
+                            r.on_tokens(np.asarray(o.new_tokens))
                         self._results.append(o)
                     return bool(self._queue)
                 except ValueError:
@@ -327,6 +359,8 @@ class ContinuousBatchingEngine:
             return bool(self._queue)
         res.request_id = req.request_id
         res.latency_s = res.ttft_s = time.perf_counter() - t_submit
+        if req.on_tokens is not None:
+            req.on_tokens(np.asarray(res.new_tokens))
         self._results.append(res)
         return bool(self._queue)
 
@@ -354,7 +388,9 @@ class ContinuousBatchingEngine:
             self.engine.params, self._batched,
             jnp.asarray(self._max_new), jnp.asarray(self._eos),
             jnp.asarray(self._temp), jnp.asarray(self._topp))
-        self._harvest(*self._observe())
+        finished, n_confirmed, init_len = self._observe()
+        self._emit_stream(n_confirmed, init_len)
+        self._harvest(finished, n_confirmed, init_len)
         return bool(self._active or self._queue)
 
     def run(self, requests: Sequence[Request]) -> List[GenerationResult]:

@@ -401,3 +401,50 @@ def test_adaptive_with_batch_group_and_sampling_modes():
     by_id = {r.request_id: r for r in results}
     for i, s in enumerate(s_singles):
         np.testing.assert_array_equal(by_id[i].tokens, s.tokens)
+
+
+def test_streaming_requests_deliver_incremental_tokens():
+    """Request.on_tokens streams each request's newly confirmed tokens as
+    the lane scheduler observes them; the concatenation equals the final
+    result and matches an individual generate. Non-streaming requests in
+    the same batch are unaffected."""
+    eng = tiny_engine()
+    rng = np.random.RandomState(11)
+    prompts = [list(rng.randint(0, 128, size=n)) for n in (10, 13, 9)]
+    singles = [eng.generate(p, 24, seed=i)
+               for i, p in enumerate(prompts)]
+
+    chunks = {0: [], 2: []}
+    server = ContinuousBatchingEngine(eng, num_lanes=2, steps_per_sync=2)
+    reqs = [Request(prompt=p, max_new_tokens=24, seed=i, request_id=i,
+                    on_tokens=(chunks[i].append if i in chunks else None))
+            for i, p in enumerate(prompts)]
+    results = server.run(reqs)
+    by_id = {r.request_id: r for r in results}
+    for i, s in enumerate(singles):
+        np.testing.assert_array_equal(by_id[i].tokens, s.tokens)
+    for i in chunks:
+        assert len(chunks[i]) >= 2      # incremental, not one lump
+        np.testing.assert_array_equal(np.concatenate(chunks[i]),
+                                      by_id[i].new_tokens)
+
+
+def test_streaming_in_throughput_and_adaptive_modes():
+    """Fused-drain paths (throughput objective; adaptive deep-backlog
+    overflow) deliver each streaming request's whole output in one call."""
+    eng = tiny_engine()
+    rng = np.random.RandomState(12)
+    prompts = [list(rng.randint(0, 128, size=10)) for _ in range(4)]
+    for objective in ("throughput", "adaptive"):
+        got = {}
+        server = ContinuousBatchingEngine(eng, num_lanes=1,
+                                          objective=objective)
+        results = server.run([
+            Request(prompt=p, max_new_tokens=12, seed=i, request_id=i,
+                    on_tokens=lambda c, i=i: got.setdefault(i, []).append(c))
+            for i, p in enumerate(prompts)])
+        by_id = {r.request_id: r for r in results}
+        for i in range(4):
+            np.testing.assert_array_equal(
+                np.concatenate(got[i]), by_id[i].new_tokens,
+                err_msg=f"{objective} req {i}")
