@@ -124,6 +124,14 @@ class PrefixCache:
     k_cache: object          # [L, M, Hkv, D] (or int8-KV dict) per pp rules
     v_cache: object
     length: int
+    # Warm n-gram pool carried from the turn that produced this prefix
+    # (return_prefix=True results only; precompute_prefix leaves it None).
+    # The reference rebuilds token_map from scratch every generate call
+    # (decoding.py:363, :911); carrying it across conversation turns means
+    # the next turn's guesses hit from step 0 instead of re-warming.
+    # Greedy token-exactness is unaffected by construction — the pool only
+    # proposes candidates, verification decides.
+    pool: Optional[object] = None
 
 
 class LookaheadEngine:
@@ -215,6 +223,7 @@ class LookaheadEngine:
         self._vfused = None       # batched fused generate (built lazily)
         self._fused_px = {}       # prefix-cache fused variants (lazy)
         self._vfused_px = None    # batched generate with a shared prefix
+        self._zero_pool = None    # shared cold pool for pool-less prefixes
         self._fused_precompute = None
         # Fused dispatches: alloc + init + pool fill + prefill (+ decode
         # loop) in ONE jit call. Over a remote-TPU link every jit call and
@@ -260,13 +269,11 @@ class LookaheadEngine:
         from .pool import apply_host_fill
 
         def call(params, out_buf, prompt_len, rng, fill, pk, pv, plen,
-                 max_new=None, eos=None, *extra):
-            pool = pool_init(
-                pool_table_rows(self.mcfg.vocab_size, self.lcfg.pool_key_len,
-                                self.lcfg.pool_hash_size),
-                self.layout.guess_set_size, self.layout.guess_size)
+                 ppool, max_new=None, eos=None, *extra):
+            # ppool: the PrefixCache's carried pool (warm-started guesses)
+            # or the engine's shared zero pool — non-donated either way
             state = self._fns.init_state(
-                pk, pv, pool, out_buf, prompt_len, rng)
+                pk, pv, ppool, out_buf, prompt_len, rng)
             if fill is not None:
                 state = state._replace(
                     pool=apply_host_fill(state.pool, *fill))
@@ -372,6 +379,19 @@ class LookaheadEngine:
         return (jnp.asarray(out_buf), jnp.int32(P),
                 jax.random.PRNGKey(seed), fill)
 
+    def _prefix_pool(self, prefix: "PrefixCache"):
+        """The pool the prefix-variant fused call starts from: the carried
+        warm pool when the PrefixCache has one, else a shared (non-donated)
+        empty pool."""
+        if prefix.pool is not None:
+            return prefix.pool
+        if self._zero_pool is None:
+            self._zero_pool = pool_init(
+                pool_table_rows(self.mcfg.vocab_size, self.lcfg.pool_key_len,
+                                self.lcfg.pool_hash_size),
+                self.layout.guess_set_size, self.layout.guess_size)
+        return self._zero_pool
+
     def _check_prefix(self, prefix: "PrefixCache", prompt_ids):
         prompt = np.asarray(prompt_ids, np.int32).reshape(-1)
         if (len(prompt) < prefix.length
@@ -389,6 +409,7 @@ class LookaheadEngine:
             return fused(self.params, out_buf, P, rng, fill,
                          prefix.k_cache, prefix.v_cache,
                          jnp.int32(prefix.length),
+                         self._prefix_pool(prefix),
                          jnp.int32(max_new_tokens), eos, *extra)
         return fused(self.params, out_buf, P, rng, fill,
                      jnp.int32(max_new_tokens), eos, *extra)
@@ -403,7 +424,8 @@ class LookaheadEngine:
             self._check_prefix(prefix, prompt_ids)
             return self._fused_with_prefix("prepare")(
                 self.params, out_buf, P, rng, fill,
-                prefix.k_cache, prefix.v_cache, jnp.int32(prefix.length))
+                prefix.k_cache, prefix.v_cache, jnp.int32(prefix.length),
+                self._prefix_pool(prefix))
         return self._fused_prepare(self.params, out_buf, P, rng, fill)
 
     def _build_result(self, n_confirmed, init_len, step_idx, out_buf,
@@ -440,7 +462,8 @@ class LookaheadEngine:
             L = min(int(kv_len), len(res.tokens))
             res.prefix = PrefixCache(
                 tokens=np.asarray(res.tokens[:L], np.int32),
-                k_cache=state.k_cache, v_cache=state.v_cache, length=L)
+                k_cache=state.k_cache, v_cache=state.v_cache, length=L,
+                pool=state.pool)
         return res
 
     # ------------------------------------------------------------------
@@ -579,15 +602,16 @@ class LookaheadEngine:
                 prep_px = self._make_fused_prefix(None)
 
                 def bcall_px(params, out_bufs, ps, rngs, fills,
-                             pk, pv, plen, max_new, eos):
-                    # the shared prefix KV broadcasts (in_axes=None): XLA
-                    # materializes each lane's private copy only when the
-                    # lane first writes its suffix rows
+                             pk, pv, plen, ppool, max_new, eos):
+                    # the shared prefix KV (and warm pool) broadcasts
+                    # (in_axes=None): XLA materializes each lane's private
+                    # copy only when the lane first writes its suffix rows
                     states = jax.vmap(
                         prep_px, in_axes=(None, 0, 0, 0,
                                           None if fills is None else 0,
-                                          None, None, None))(
-                        params, out_bufs, ps, rngs, fills, pk, pv, plen)
+                                          None, None, None, None))(
+                        params, out_bufs, ps, rngs, fills, pk, pv, plen,
+                        ppool)
                     return jax.vmap(
                         self._fns.decode_loop,
                         in_axes=(None, 0, None, None))(
@@ -597,6 +621,7 @@ class LookaheadEngine:
             batched = self._vfused_px(self.params, out_bufs, ps, rngs,
                                       fills, prefix.k_cache, prefix.v_cache,
                                       jnp.int32(prefix.length),
+                                      self._prefix_pool(prefix),
                                       jnp.int32(max_new_tokens),
                                       _eos_vec(eos_token_id))
         # one batched readback for every lane's scalars + tokens
@@ -696,4 +721,5 @@ class LookaheadEngine:
             L = min(int(kv_len), init_len + max_new_tokens)
             return PrefixCache(tokens=np.asarray(out_buf[:L], np.int32),
                                k_cache=state.k_cache,
-                               v_cache=state.v_cache, length=L)
+                               v_cache=state.v_cache, length=L,
+                               pool=state.pool)

@@ -249,3 +249,57 @@ def test_serving_batch_group_groups_same_prefix():
     by_id = {r.request_id: r for r in results}
     for i, s in enumerate(singles):
         np.testing.assert_array_equal(by_id[i].tokens, s.tokens)
+
+
+def test_conversation_pool_carry_warms_next_turn():
+    """return_prefix also carries the n-gram pool, so turn k+1 starts with
+    warm guesses instead of re-warming from scratch (the reference rebuilds
+    token_map every generate call, decoding.py:363/:911). Output must stay
+    token-identical — the pool only proposes candidates, verification
+    decides — while the warm turn takes strictly fewer decode steps on a
+    predictable workload."""
+    import dataclasses
+
+    # Deterministic-cycle model (bench.py's transition trick at test
+    # scale): one-hot embeddings, head[t] -> onehot(t+1 mod V), tiny
+    # random layers that cannot overpower the embedding-dominated
+    # residual — greedy continuation is the cycle, so n-gram guesses hit.
+    V, H = 16, 64   # short cycle (period 16) so n-grams actually recur
+    nxt = np.roll(np.arange(V), -1)
+    mcfg = lt.LlamaConfig(
+        vocab_size=V, hidden_size=H, intermediate_size=112,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=512, dtype=jnp.float32)
+    params = lt.init_params(mcfg, jax.random.PRNGKey(3), scale=0.002)
+    params["embed"] = jnp.asarray(np.eye(V, H) * np.sqrt(H), jnp.float32)
+    head = np.zeros((H, V), np.float32)
+    head[np.arange(V), nxt] = 1.0
+    params["lm_head"] = jnp.asarray(head)
+    eng = lt.LookaheadEngine(
+        mcfg, params,
+        lt.LookaheadConfig(level=4, window_size=5, guess_set_size=4,
+                           pool_from_prompt=False),
+        lt.EngineConfig(max_seq_len=256, prefill_chunk=16, dtype="float32"))
+
+    p = [7]
+    for _ in range(11):
+        p.append(int(nxt[p[-1]]))
+    r1 = eng.generate(p, 24, return_prefix=True)
+    assert r1.prefix.pool is not None
+
+    msg2 = []
+    t = int(r1.tokens[-1])
+    for _ in range(4):
+        t = int(nxt[t])
+        msg2.append(t)
+    turn2 = list(r1.tokens) + msg2
+
+    warm = eng.generate(turn2, 24, prefix=r1.prefix)
+    cold = eng.generate(turn2, 24,
+                        prefix=dataclasses.replace(r1.prefix, pool=None))
+    full = eng.generate(turn2, 24)
+    np.testing.assert_array_equal(warm.tokens, full.tokens)
+    np.testing.assert_array_equal(cold.tokens, full.tokens)
+    assert warm.steps < cold.steps, (warm.steps, cold.steps)
+    # precompute_prefix (no decode ran) stays pool-less by design
+    assert eng.precompute_prefix(p).pool is None
