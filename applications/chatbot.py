@@ -46,7 +46,15 @@ def main():
                     "caching): each turn prefills only the new user "
                     "message. History is tokenized per segment so earlier "
                     "token ids never change.")
+    ap.add_argument("--seed", type=int, default=None,
+                    help="base sampling seed; default draws one from the "
+                    "OS so repeated --do-sample runs actually vary. Each "
+                    "turn advances it so draws never repeat across turns.")
     args = ap.parse_args()
+    if not args.do_sample and (args.temperature != 0.7 or args.top_k != 0
+                               or args.top_p != 1.0):
+        print("warning: --temperature/--top-k/--top-p have no effect "
+              "without --do-sample (chat runs greedy)", file=sys.stderr)
     color = int(os.environ.get("COLOR_PRINT", 0))
 
     import jax.numpy as jnp
@@ -64,6 +72,9 @@ def main():
     sampling = (lt.SamplingConfig(temperature=args.temperature,
                                   top_k=args.top_k, top_p=args.top_p)
                 if args.do_sample else None)
+    seed = (args.seed if args.seed is not None
+            else int.from_bytes(os.urandom(4), "little"))
+    turn_no = [0]   # each turn advances the seed so draws never repeat
 
     history = ""
     # --kv-reuse state: token-level history (tokenized per segment so ids
@@ -95,13 +106,15 @@ def main():
 
     def turn(user_text):
         nonlocal history, hist_ids, last_px
+        turn_no[0] += 1
+        turn_seed = seed + turn_no[0]
         if args.kv_reuse:
             hist_ids = hist_ids + tok(f"[INST] {user_text} [/INST]",
                                       add_special_tokens=False).input_ids
             prev, pieces, last_px = stream_print(
                 eng.generate_stream(hist_ids, args.max_new_tokens,
                                     eos_token_id=tok.eos_token_id,
-                                    sampling=sampling,
+                                    seed=turn_seed, sampling=sampling,
                                     prefix=last_px, return_prefix=True),
                 time.time())
             hist_ids = hist_ids + pieces
@@ -111,7 +124,7 @@ def main():
         prev, _, _ = stream_print(
             eng.generate_stream(prompt, args.max_new_tokens,
                                 eos_token_id=tok.eos_token_id,
-                                sampling=sampling),
+                                seed=turn_seed, sampling=sampling),
             time.time())
         history += prev
 

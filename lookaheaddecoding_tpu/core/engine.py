@@ -379,6 +379,24 @@ class LookaheadEngine:
         return (jnp.asarray(out_buf), jnp.int32(P),
                 jax.random.PRNGKey(seed), fill)
 
+    def _prefix_fill(self, prefix: "PrefixCache", prompt_ids, fill):
+        """Prompt-fill adjusted for a carried warm pool: everything up to
+        ``prefix.length`` was already offered to that pool (turn-1 fill +
+        decode harvest), so re-filling the full conversation would clobber
+        its warm rows. Restrict the fill to the new suffix (plus level-1
+        boundary context); pool-less prefixes keep the full fill."""
+        if fill is None or prefix.pool is None:
+            return fill
+        from .pool import host_prompt_fill
+        prompt = np.asarray(prompt_ids, np.int32).reshape(-1)
+        start = max(0, prefix.length - self.lcfg.level)
+        return host_prompt_fill(
+            prompt[start:], self.lcfg.level, self.layout.guess_set_size,
+            pad_to=self.ecfg.max_seq_len, key_len=self.lcfg.pool_key_len,
+            table_rows=pool_table_rows(
+                self.mcfg.vocab_size, self.lcfg.pool_key_len,
+                self.lcfg.pool_hash_size))
+
     def _prefix_pool(self, prefix: "PrefixCache"):
         """The pool the prefix-variant fused call starts from: the carried
         warm pool when the PrefixCache has one, else a shared (non-donated)
@@ -406,7 +424,8 @@ class LookaheadEngine:
                                                 max_new_tokens)
         if prefix is not None:
             self._check_prefix(prefix, prompt_ids)
-            return fused(self.params, out_buf, P, rng, fill,
+            return fused(self.params, out_buf, P, rng,
+                         self._prefix_fill(prefix, prompt_ids, fill),
                          prefix.k_cache, prefix.v_cache,
                          jnp.int32(prefix.length),
                          self._prefix_pool(prefix),
@@ -423,7 +442,8 @@ class LookaheadEngine:
         if prefix is not None:
             self._check_prefix(prefix, prompt_ids)
             return self._fused_with_prefix("prepare")(
-                self.params, out_buf, P, rng, fill,
+                self.params, out_buf, P, rng,
+                self._prefix_fill(prefix, prompt_ids, fill),
                 prefix.k_cache, prefix.v_cache, jnp.int32(prefix.length),
                 self._prefix_pool(prefix))
         return self._fused_prepare(self.params, out_buf, P, rng, fill)
@@ -571,6 +591,9 @@ class LookaheadEngine:
                 self._check_prefix(prefix, pr)
         args = [self._host_args(p, s, max_new_tokens)
                 for p, s in zip(prompts, seeds)]
+        if prefix is not None:
+            args = [(a[0], a[1], a[2], self._prefix_fill(prefix, p, a[3]))
+                    for a, p in zip(args, prompts)]
         out_bufs = jnp.stack([a[0] for a in args])
         ps = jnp.stack([a[1] for a in args])
         rngs = jnp.stack([a[2] for a in args])

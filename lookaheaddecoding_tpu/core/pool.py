@@ -212,13 +212,21 @@ def host_prompt_fill(prompt_tokens, level: int, guess_set_size: int,
 
 def apply_host_fill(pool: PoolState, keys, rows, ages, clock) -> PoolState:
     """One batched scatter of host-computed fill rows (jit-friendly; lanes
-    with key == -1 go to the trash row)."""
+    with key == -1 go to the trash row).
+
+    Ages and the clock are OFFSET by the pool's current clock so a fill
+    applied to a carried (warm) pool never rewinds logical time: a rewound
+    clock would make every subsequent insert the argmin-age eviction victim
+    of entries older than it (LRU inversion). Empty slots (age 0) stay 0.
+    On a fresh pool (clock 0) this is the identity semantics."""
     trash_row = pool.values.shape[0] - 1
     keys = jnp.where(keys < 0, trash_row, keys)
+    ages = jnp.asarray(ages)
     return PoolState(
         values=pool.values.at[keys].set(rows),
-        age=pool.age.at[keys].set(ages),
-        clock=jnp.int32(clock),
+        age=pool.age.at[keys].set(
+            jnp.where(ages > 0, ages + pool.clock, 0)),
+        clock=pool.clock + jnp.int32(clock),
     )
 
 

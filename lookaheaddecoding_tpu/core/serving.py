@@ -222,10 +222,14 @@ class ContinuousBatchingEngine:
         return np.asarray(finished), np.asarray(n_confirmed), \
             np.asarray(init_len)
 
-    def _emit_stream(self, n_confirmed, init_len) -> None:
+    def _emit_stream(self, n_confirmed, init_len):
         """Deliver newly confirmed tokens to requests that stream
         (Request.on_tokens). One out_buf readback per sync, and only when
-        some streaming lane actually has new tokens."""
+        some streaming lane actually has new tokens; the fetched array is
+        returned so a same-sync harvest reuses it instead of a second
+        transfer. ``_served`` advances only after the callback returns, so
+        a raising callback re-delivers its chunk (at-least-once) if the
+        caller recovers and keeps stepping."""
         pending = []
         for lane, req in self._active.items():
             if lane not in self._served:
@@ -235,19 +239,22 @@ class ContinuousBatchingEngine:
             if total > self._served[lane]:
                 pending.append((lane, req, total))
         if not pending:
-            return
+            return None
         out_buf = np.asarray(self._batched.out_buf)
         for lane, req, total in pending:
             chunk = out_buf[lane, self._served[lane]:total].copy()
-            self._served[lane] = total
             req.on_tokens(chunk)
+            self._served[lane] = total
+        return out_buf
 
-    def _harvest(self, finished, n_confirmed, init_len) -> None:
+    def _harvest(self, finished, n_confirmed, init_len,
+                 out_buf=None) -> None:
         done = [l for l in list(self._active) if finished[l]]
         if not done:
             return
         steps = np.asarray(self._batched.step_idx)
-        out_buf = np.asarray(self._batched.out_buf)   # single transfer
+        if out_buf is None:                           # single transfer
+            out_buf = np.asarray(self._batched.out_buf)
         now = time.perf_counter()
         for lane in done:
             req = self._active.pop(lane)
@@ -389,8 +396,8 @@ class ContinuousBatchingEngine:
             jnp.asarray(self._max_new), jnp.asarray(self._eos),
             jnp.asarray(self._temp), jnp.asarray(self._topp))
         finished, n_confirmed, init_len = self._observe()
-        self._emit_stream(n_confirmed, init_len)
-        self._harvest(finished, n_confirmed, init_len)
+        out_buf = self._emit_stream(n_confirmed, init_len)
+        self._harvest(finished, n_confirmed, init_len, out_buf)
         return bool(self._active or self._queue)
 
     def run(self, requests: Sequence[Request]) -> List[GenerationResult]:

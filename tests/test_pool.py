@@ -103,3 +103,40 @@ def test_fill_pool_with_prompt_matches_reference_ngrams():
     assert entries(pool, 7) == {(4, 7), (9, 2)}
     assert entries(pool, 9) == set()      # 9 starts no complete n-gram
     assert entries(pool, 0) == set()      # padding contributes nothing
+
+
+def test_host_fill_on_warm_pool_never_rewinds_lru_time():
+    """apply_host_fill onto a pool that already carries entries (the
+    conversation pool-carry path): the clock must ADVANCE by the fill's
+    span (a rewound clock makes every later insert the argmin-age eviction
+    victim — LRU inversion), filled entries must rank newest, untouched
+    keys must keep their entries, and empty slots must stay age-0."""
+    from lookaheaddecoding_tpu.core.pool import apply_host_fill, host_prompt_fill
+
+    pool = pool_init(32, guess_set_size=3, guess_size=2)
+    # warm entries on keys 5 and 9, clock advances to 2
+    pool = upd(pool, [(5, (6, 7)), (9, (10, 11))])
+    warm_clock = int(pool.clock)
+    assert warm_clock > 0
+
+    prompt = [1, 2, 3, 4]           # fills key 1 -> (2,3), key 2 -> (3,4)
+    fill = host_prompt_fill(prompt, level=3, guess_set_size=3, pad_to=16)
+    merged = apply_host_fill(pool, *fill)
+
+    assert int(merged.clock) == warm_clock + int(fill[3])
+    # untouched warm keys keep their entries and ages
+    np.testing.assert_array_equal(np.asarray(merged.values[5]),
+                                  np.asarray(pool.values[5]))
+    np.testing.assert_array_equal(np.asarray(merged.age[5]),
+                                  np.asarray(pool.age[5]))
+    # filled keys: live entries rank NEWER than every warm entry,
+    # empty slots stay 0 (so they stay the preferred eviction victims)
+    for key in (1, 2):
+        ages = np.asarray(merged.age[key])
+        live = ages[ages > 0]
+        assert live.size > 0 and (live > warm_clock).all(), (key, ages)
+        assert (ages >= 0).all()
+    vals, valid = pool_lookup(merged, jnp.int32(1))
+    got = {tuple(v) for v, ok in zip(np.asarray(vals), np.asarray(valid))
+           if ok}
+    assert (2, 3) in got
