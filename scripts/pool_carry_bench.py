@@ -67,6 +67,10 @@ def main():
     ap.add_argument("--level", type=int, default=5)
     ap.add_argument("--window", type=int, default=7)
     ap.add_argument("--guess", type=int, default=7)
+    ap.add_argument("--pool-from-prompt", action="store_true",
+                    help="chatbot regime: every turn also host-fills the "
+                    "pool from the prompt (suffix-restricted when a warm "
+                    "pool is carried)")
     args = ap.parse_args()
 
     import jax
@@ -80,7 +84,8 @@ def main():
     eng = lt.LookaheadEngine(
         mcfg, params,
         lt.LookaheadConfig(level=args.level, window_size=args.window,
-                           guess_set_size=args.guess),
+                           guess_set_size=args.guess,
+                           pool_from_prompt=args.pool_from_prompt),
         lt.EngineConfig(max_seq_len=2048, prefill_chunk=128))
 
     detail = {}
@@ -105,7 +110,9 @@ def main():
     out = {
         "config": {"turns": args.turns, "new": args.new,
                    "level": args.level, "window": args.window,
-                   "guess": args.guess, "backend": jax.devices()[0].platform},
+                   "guess": args.guess,
+                   "pool_from_prompt": args.pool_from_prompt,
+                   "backend": jax.devices()[0].platform},
         "modes": detail,
         "kv_speedup_vs_full": round(
             detail["kv"]["tok_per_s"] / detail["full"]["tok_per_s"], 3),
@@ -116,7 +123,7 @@ def main():
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     os.makedirs(os.path.join(root, "data"), exist_ok=True)
-    with open(os.path.join(root, "data", "pool_carry_bench.json"), "w") as f:
+    with open(os.path.join(root, "data", "pool_carry_bench_fill.json" if args.pool_from_prompt else "pool_carry_bench.json"), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 
