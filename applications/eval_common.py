@@ -15,7 +15,7 @@ import argparse
 import json
 import os
 import time
-from typing import Callable, List, Optional
+from typing import Callable, List
 
 
 LLAMA2_SYS = (

@@ -11,7 +11,7 @@ import sys
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from applications.eval_common import (  # noqa: E402
-    base_parser, llama2_chat_prompt, run_eval)
+    base_parser, run_eval)
 
 
 def load_questions(path):

@@ -34,8 +34,7 @@ def main():
     from lookaheaddecoding_tpu.utils.tuning import enable_compile_cache
     enable_compile_cache()
     from lookaheaddecoding_tpu.ops import quant_matmul as qm
-    from lookaheaddecoding_tpu.ops.quant import (dequantize_weight,
-                                                 quantize_weight)
+    from lookaheaddecoding_tpu.ops.quant import quantize_weight
 
     print("devices:", jax.devices(), flush=True)
     rng = np.random.RandomState(0)
