@@ -104,29 +104,52 @@ def main():
         print(f"\n[{n} tokens, {n / dt:.1f} tok/s]")
         return prev, pieces, px
 
-    def turn(user_text):
+    def _reset_conversation():
         nonlocal history, hist_ids, last_px
-        turn_no[0] += 1
-        turn_seed = seed + turn_no[0]
+        history = ""
+        hist_ids = tok(f"<<SYS>>{SYSTEM_PROMPT}<</SYS>>").input_ids
+        last_px = None
+
+    def _turn_inner(user_text, turn_seed):
+        nonlocal history, hist_ids, last_px
         if args.kv_reuse:
-            hist_ids = hist_ids + tok(f"[INST] {user_text} [/INST]",
+            new_hist = hist_ids + tok(f"[INST] {user_text} [/INST]",
                                       add_special_tokens=False).input_ids
             prev, pieces, last_px = stream_print(
-                eng.generate_stream(hist_ids, args.max_new_tokens,
+                eng.generate_stream(new_hist, args.max_new_tokens,
                                     eos_token_id=tok.eos_token_id,
                                     seed=turn_seed, sampling=sampling,
                                     prefix=last_px, return_prefix=True),
                 time.time())
-            hist_ids = hist_ids + pieces
+            hist_ids = new_hist + pieces
             return
-        history += f"[INST] {user_text} [/INST]"
-        prompt = tok(f"<<SYS>>{SYSTEM_PROMPT}<</SYS>>{history}").input_ids
+        new_history = history + f"[INST] {user_text} [/INST]"
+        prompt = tok(f"<<SYS>>{SYSTEM_PROMPT}<</SYS>>{new_history}").input_ids
         prev, _, _ = stream_print(
             eng.generate_stream(prompt, args.max_new_tokens,
                                 eos_token_id=tok.eos_token_id,
                                 seed=turn_seed, sampling=sampling),
             time.time())
-        history += prev
+        history = new_history + prev
+
+    def turn(user_text):
+        turn_no[0] += 1
+        turn_seed = seed + turn_no[0]
+        try:
+            _turn_inner(user_text, turn_seed)
+        except ValueError:
+            # conversation outgrew max_seq_len (the prompt+composite
+            # capacity check): degrade gracefully instead of crashing the
+            # REPL — drop the history (and any carried KV) and retry the
+            # turn on a fresh context
+            print(f"\n[context full at max_seq_len={args.max_seq_len}; "
+                  "dropping conversation history]", file=sys.stderr)
+            _reset_conversation()
+            try:
+                _turn_inner(user_text, turn_seed)
+            except ValueError as e:
+                print(f"[message too long for this engine: {e}]",
+                      file=sys.stderr)
 
     print("warming up (first compile)...")
     eng.generate(tok("warmup").input_ids, 8)

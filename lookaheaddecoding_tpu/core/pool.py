@@ -210,7 +210,8 @@ def host_prompt_fill(prompt_tokens, level: int, guess_set_size: int,
     return keys, rows, ages, clock
 
 
-def apply_host_fill(pool: PoolState, keys, rows, ages, clock) -> PoolState:
+def apply_host_fill(pool: PoolState, keys, rows, ages, clock,
+                    merge: bool = False) -> PoolState:
     """One batched scatter of host-computed fill rows (jit-friendly; lanes
     with key == -1 go to the trash row).
 
@@ -218,14 +219,45 @@ def apply_host_fill(pool: PoolState, keys, rows, ages, clock) -> PoolState:
     applied to a carried (warm) pool never rewinds logical time: a rewound
     clock would make every subsequent insert the argmin-age eviction victim
     of entries older than it (LRU inversion). Empty slots (age 0) stay 0.
-    On a fresh pool (clock 0) this is the identity semantics."""
+    On a fresh pool (clock 0) this is the identity semantics.
+
+    ``merge=True`` LRU-inserts each fill entry into the key's EXISTING row
+    (match -> refresh, else evict the min-age slot) instead of replacing the
+    whole row — so a carried warm pool keeps every entry the fill doesn't
+    displace. On empty rows merge and set produce identical content; the
+    prefix-cache path always merges."""
     trash_row = pool.values.shape[0] - 1
     keys = jnp.where(keys < 0, trash_row, keys)
     ages = jnp.asarray(ages)
+    if not merge:
+        return PoolState(
+            values=pool.values.at[keys].set(rows),
+            age=pool.age.at[keys].set(
+                jnp.where(ages > 0, ages + pool.clock, 0)),
+            clock=pool.clock + jnp.int32(clock),
+        )
+    rows0 = pool.values[keys]                            # [K, G, GS]
+    ages0 = pool.age[keys]                               # [K, G]
+    rows_f = jnp.asarray(rows)
+
+    def insert_slot(row, arow, tup, age):
+        # same slot rule as pool_update._insert_one; age == 0 marks an
+        # unused fill slot -> no-op for that key
+        match = jnp.all(row == tup[None, :], axis=-1) & (arow > 0)
+        slot = jnp.where(
+            jnp.any(match), jnp.argmax(match), jnp.argmin(arow))
+        nrow = jax.lax.dynamic_update_slice(row, tup[None, :], (slot, 0))
+        narow = jax.lax.dynamic_update_slice(
+            arow, (pool.clock + age)[None], (slot,))
+        live = age > 0
+        return jnp.where(live, nrow, row), jnp.where(live, narow, arow)
+
+    vins = jax.vmap(insert_slot)
+    for j in range(rows0.shape[1]):      # fill entries in insertion order
+        rows0, ages0 = vins(rows0, ages0, rows_f[:, j], ages[:, j])
     return PoolState(
-        values=pool.values.at[keys].set(rows),
-        age=pool.age.at[keys].set(
-            jnp.where(ages > 0, ages + pool.clock, 0)),
+        values=pool.values.at[keys].set(rows0),
+        age=pool.age.at[keys].set(ages0),
         clock=pool.clock + jnp.int32(clock),
     )
 

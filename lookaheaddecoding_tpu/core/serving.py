@@ -79,7 +79,10 @@ class ContinuousBatchingEngine:
           overflow drains through the throughput path; once the backlog
           fits the lanes, requests are laned for TTFT. Lanes already
           active always finish on the lane path first (fused generates
-          would stall them mid-decode).
+          would stall them mid-decode) — except that once at least half
+          the lanes sit free under a deep backlog, queued requests are
+          admitted to them (head-of-line guard: one slow request must not
+          idle the rest of the fleet while the queue waits).
         """
         if objective not in ("fairness", "throughput", "adaptive"):
             raise ValueError(f"unknown objective: {objective!r}")
@@ -385,8 +388,15 @@ class ContinuousBatchingEngine:
                 # final <= num_lanes requests fall through to the lanes
                 self._step_sequential()
                 return bool(self._active or self._queue)
-            # active lanes + deep backlog: let the lanes finish first (a
-            # fused generate would stall them mid-decode), so don't admit
+            # Active lanes + deep backlog: mostly let the lanes finish (a
+            # fused generate would stall them mid-decode, and the fused
+            # drain is the aggregate-tok/s winner) — BUT a few stragglers
+            # must not idle the rest of the fleet (head-of-line guard,
+            # ADVICE r4): once at least half the lanes sit free, admit to
+            # them instead of waiting for the last active lane.
+            free = self.num_lanes - len(self._active)
+            if free >= max(1, self.num_lanes // 2):
+                self._admit()
         else:
             self._admit()
         if not self._active:

@@ -36,6 +36,214 @@ from .state import DecodeState
 NEG_INF = float("-inf")
 
 
+def make_post_forward(mode: str, mcfg, lcfg, layout: Layout,
+                      top_k: int = 0, use_top_p: bool = True):
+    """Everything a lookahead decode step does AFTER the model forward and
+    BEFORE the KV commit, as a per-sequence pure function: verification
+    (greedy longest-prefix / SpecInfer rejection sampling), EOS truncation,
+    output append, pool harvest and window slide (reference
+    decoding.py:1021-1177 greedy, :484-580 sampling).
+
+    Shared by the flat-cache step (build_step_fns) and the paged-KV step
+    (core/paged_step.py) — the two differ only in how KV is addressed, so
+    the decode semantics live here exactly once. Returns
+    ``post(state, logits, guesses, guess_valid, lst, prev, max_new, eos_id,
+    temperature, top_p, cap) -> (updates, winner, max_hit)`` where
+    ``state`` is any object with the DecodeState bookkeeping fields,
+    ``cap`` is the sequence's logical KV capacity (the flat path passes
+    max_seq_len; paged lanes pass their allocated page span) and
+    ``updates`` holds the replacement bookkeeping fields."""
+    assert mode in ("greedy", "sample")
+    W = layout.window
+    N = layout.level
+    G = layout.guess_set_size
+    GS = layout.guess_size
+    S = layout.seq_len
+    n_window = layout.n_window
+    OUT_ROW = 0
+    INP_ROWS = slice(1, 1 + W)
+    GUESS_ROWS = slice(1 + W, 1 + W + G * GS)
+    if lcfg.pool_key_len == 2:
+        rows = pool_table_rows(mcfg.vocab_size, 2, lcfg.pool_hash_size)
+
+    def post(state, logits, guesses, guess_valid, lst, prev, max_new,
+             eos_id, temperature, top_p, cap):
+        kv_len = state.kv_len
+        new_results = jnp.argmax(logits[INP_ROWS], axis=-1).astype(jnp.int32)
+        rng = state.rng
+
+        if mode == "greedy":
+            # ---- verification: greedy longest-prefix acceptance
+            # (reference decoding.py:1071-1084)
+            next_token = jnp.argmax(logits[OUT_ROW]).astype(jnp.int32)
+            if G > 0:
+                guess_results = (
+                    jnp.argmax(logits[GUESS_ROWS], axis=-1)
+                    .astype(jnp.int32).reshape(G, GS))
+                correct = jnp.concatenate(
+                    [jnp.full((G, 1), next_token, jnp.int32),
+                     guess_results[:, : GS - 1]], axis=1)     # [G, GS]
+                eq = (guesses == correct)
+                m0 = jnp.sum(
+                    jnp.cumprod(eq.astype(jnp.int32), axis=1), axis=1)
+                # The reference's scan index stops at GS-1 even on a
+                # full match (decoding.py:1077-1080), capping
+                # acceptance at GS tokens/step.
+                m = jnp.where(guess_valid, jnp.minimum(m0, GS - 1), -1)
+                max_hit = jnp.maximum(jnp.max(m), 0)
+                winner = jnp.argmax(m).astype(jnp.int32)
+                hits = jnp.concatenate(
+                    [next_token[None], guess_results[winner, : GS - 1]])
+            else:
+                max_hit = jnp.int32(0)
+                winner = jnp.int32(0)
+                hits = jnp.full((GS,), next_token, jnp.int32)
+        else:
+            # ---- verification: SpecInfer rejection sampling
+            # (reference decoding.py:484-545)
+            rng, k_verify = jax.random.split(rng)
+            probs_next = jax.nn.softmax(warp_logits(
+                logits[OUT_ROW], temperature, top_k, top_p,
+                use_top_p=use_top_p))
+            if G > 0:
+                guess_probs = jax.nn.softmax(warp_logits(
+                    logits[GUESS_ROWS], temperature, top_k, top_p,
+                    use_top_p=use_top_p
+                ), axis=-1).reshape(G, GS, -1)
+                res = rejection_sample_verify(
+                    probs_next, guess_probs, guesses, guess_valid,
+                    k_verify)
+                hits, max_hit, winner = res.hits, res.max_hit, res.winner
+            else:
+                tok = jax.random.categorical(
+                    k_verify, jnp.log(jnp.maximum(probs_next, 1e-38))
+                ).astype(jnp.int32)
+                hits = jnp.full((GS,), tok, jnp.int32)
+                max_hit = jnp.int32(0)
+                winner = jnp.int32(0)
+
+        # ---- EOS truncation (reference decoding.py:1167-1173).
+        # ``eos_id`` is a [N_EOS] vector (pad slots = -1): any listed id
+        # truncates. (The reference checks only eos_token_id[0] in the
+        # hits walk while tracking all ids for loop exit — we apply all
+        # ids consistently.)
+        hit_pos = jnp.arange(GS, dtype=jnp.int32)
+        is_eos = jnp.any(
+            hits[:, None] == eos_id[None, :], axis=1) & (hit_pos <= max_hit)
+        has_eos = jnp.any(is_eos)
+        max_hit = jnp.where(
+            has_eos, jnp.argmax(is_eos).astype(jnp.int32), max_hit)
+
+        # ---- output append (fixed-size write; tail overwritten later)
+        out_buf = jax.lax.dynamic_update_slice(
+            state.out_buf, hits, (state.n_confirmed,))
+        n_confirmed = state.n_confirmed + 1 + max_hit
+        new_kv_len = kv_len + 1 + max_hit
+
+        # ---- pool harvest (reference update_token_map,
+        # decoding.py:37-78): key ``lst`` takes window column 0; key
+        # L0[i-1] takes column i of the trajectory. With bigram keys
+        # each column is keyed on the PAIR of tokens preceding it.
+        key1 = jnp.concatenate([lst[None], state.window[: W - 1]])
+        traj = state.window[W - 1:].reshape(N - 2, W)     # levels 1..N-2
+        harvest_tups = jnp.concatenate(
+            [traj.T, new_results[:, None]], axis=1)
+        warmed_up = state.step_idx >= N - 2
+        harvest_valid = jnp.full((W,), True) & warmed_up
+        if lcfg.pool_key_len == 2:
+            key0 = jnp.concatenate(
+                [prev[None], lst[None], state.window[: W - 2]])
+            harvest_keys = bigram_key(key0, key1, rows)
+        else:
+            harvest_keys = key1
+
+        if lcfg.pool_from_prompt:
+            # n-grams ending at each newly accepted token (reference
+            # append_new_generated_pool, decoding.py:80-101, :1177).
+            ends = state.n_confirmed + jnp.arange(GS, dtype=jnp.int32)
+            starts = ends - GS
+            gen_tups = out_buf[starts[:, None] + 1 + jnp.arange(GS)[None, :]]
+            if lcfg.pool_key_len == 2:
+                gen_keys = bigram_key(
+                    out_buf[jnp.maximum(starts - 1, 0)],
+                    out_buf[starts], rows)
+                gen_valid = ((jnp.arange(GS) <= max_hit)
+                             & (starts >= 1))
+            else:
+                gen_keys = out_buf[starts]
+                gen_valid = ((jnp.arange(GS) <= max_hit)
+                             & (starts >= 0))
+            harvest_keys = jnp.concatenate([harvest_keys, gen_keys])
+            harvest_tups = jnp.concatenate([harvest_tups, gen_tups])
+            harvest_valid = jnp.concatenate([harvest_valid, gen_valid])
+
+        pool = pool_update(
+            state.pool, harvest_keys, harvest_tups, harvest_valid)
+
+        # ---- window slide, ALWAYS_FWD_ONE semantics
+        # (decoding.py:1119-1124): L0 <- L1[1:], Lk <- Lk+1, newest <-
+        # new_results. On the flat layout: one static slice + concat.
+        window = jnp.concatenate([state.window[W:], new_results])
+        if not lcfg.always_fwd_one:
+            # AFO=0 (reference decoding.py:562-573): every level
+            # additionally advances by the accepted span — shift each
+            # level segment left by max_hit and refill the vacated tail
+            # with random confirmed-token copies (set_token()). On the
+            # flat buffer: a gather with a traced offset per segment.
+            seg = np.concatenate(
+                [np.zeros(W - 1, np.int32)]
+                + [np.full(W, 1 + lv, np.int32) for lv in range(N - 2)])
+            j_in = np.concatenate(
+                [np.arange(W - 1, dtype=np.int32)]
+                + [np.arange(W, dtype=np.int32)] * (N - 2))
+            seg_start = np.concatenate(
+                [np.zeros(W - 1, np.int32)]
+                + [np.full(W, (W - 1) + lv * W, np.int32)
+                   for lv in range(N - 2)])
+            lw = np.where(seg == 0, W - 1, W).astype(np.int32)
+            shifted_j = j_in + max_hit
+            keep = shifted_j < lw
+            idx = seg_start + jnp.minimum(shifted_j, lw - 1)
+            rng, k_ref = jax.random.split(rng)
+            ridx = jax.random.randint(
+                k_ref, (n_window,), 0, n_confirmed)
+            window = jnp.where(keep, window[idx], out_buf[ridx])
+        if mode == "sample":
+            # Sampling loop filters EOS out of the newest level to avoid
+            # numerical issues (reference filter_window,
+            # decoding.py:131-135, applied :578-580 AFTER the slide);
+            # replacement is a random copy from the confirmed tokens
+            # (``copy_from``).
+            rng, k_filt = jax.random.split(rng)
+            ridx = jax.random.randint(k_filt, (W,), 0, n_confirmed)
+            newest = window[-W:]
+            hit_eos = jnp.any(
+                newest[:, None] == eos_id[None, :], axis=1)
+            window = window.at[-W:].set(
+                jnp.where(hit_eos, out_buf[ridx], newest))
+
+        finished = (
+            state.finished
+            | has_eos
+            | (n_confirmed - state.init_len >= max_new)
+            | (new_kv_len + S > cap)    # cache capacity safety stop
+        )
+
+        updates = dict(
+            kv_len=new_kv_len,
+            window=window,
+            pool=pool,
+            out_buf=out_buf,
+            n_confirmed=n_confirmed,
+            step_idx=state.step_idx + 1,
+            finished=finished,
+            rng=rng,
+        )
+        return updates, winner, max_hit
+
+    return post
+
+
 class StepFns(NamedTuple):
     init_state: Callable
     prefill_chunk: Callable
@@ -100,9 +308,6 @@ def build_step_fns(
         np.arange(layout.inp_start, layout.inp_stop),
         np.arange(layout.guess_start, layout.seq_len),
     ]))
-    OUT_ROW = 0
-    INP_ROWS = slice(1, 1 + W)
-    GUESS_ROWS = slice(1 + W, 1 + W + G * GS)
 
     # ------------------------------------------------------------------
     # Init
@@ -204,6 +409,8 @@ def build_step_fns(
     # ------------------------------------------------------------------
     def _make_decode_step(mode: str):
         assert mode in ("greedy", "sample")
+        post = make_post_forward(mode, mcfg, lcfg, layout,
+                                 top_k=top_k, use_top_p=use_top_p)
 
         def decode_step(params, state: DecodeState, max_new, eos_id,
                         temperature=1.0, top_p=1.0):
@@ -217,6 +424,7 @@ def build_step_fns(
                     jnp.maximum(state.n_confirmed - 2, 0)]
                 lookup_key = bigram_key(prev, lst, rows)
             else:
+                prev = lst
                 lookup_key = lst
             guesses, guess_valid = pool_lookup(
                 state.pool, lookup_key)                   # [G,GS],[G]
@@ -267,70 +475,9 @@ def build_step_fns(
                 rope_seq_len=positions + 1,
             )
 
-            new_results = jnp.argmax(logits[INP_ROWS], axis=-1).astype(jnp.int32)
-            rng = state.rng
-
-            if mode == "greedy":
-                # ---- verification: greedy longest-prefix acceptance
-                # (reference decoding.py:1071-1084)
-                next_token = jnp.argmax(logits[OUT_ROW]).astype(jnp.int32)
-                if G > 0:
-                    guess_results = (
-                        jnp.argmax(logits[GUESS_ROWS], axis=-1)
-                        .astype(jnp.int32).reshape(G, GS))
-                    correct = jnp.concatenate(
-                        [jnp.full((G, 1), next_token, jnp.int32),
-                         guess_results[:, : GS - 1]], axis=1)     # [G, GS]
-                    eq = (guesses == correct)
-                    m0 = jnp.sum(
-                        jnp.cumprod(eq.astype(jnp.int32), axis=1), axis=1)
-                    # The reference's scan index stops at GS-1 even on a
-                    # full match (decoding.py:1077-1080), capping
-                    # acceptance at GS tokens/step.
-                    m = jnp.where(guess_valid, jnp.minimum(m0, GS - 1), -1)
-                    max_hit = jnp.maximum(jnp.max(m), 0)
-                    winner = jnp.argmax(m).astype(jnp.int32)
-                    hits = jnp.concatenate(
-                        [next_token[None], guess_results[winner, : GS - 1]])
-                else:
-                    max_hit = jnp.int32(0)
-                    winner = jnp.int32(0)
-                    hits = jnp.full((GS,), next_token, jnp.int32)
-            else:
-                # ---- verification: SpecInfer rejection sampling
-                # (reference decoding.py:484-545)
-                rng, k_verify = jax.random.split(rng)
-                probs_next = jax.nn.softmax(warp_logits(
-                    logits[OUT_ROW], temperature, top_k, top_p,
-                    use_top_p=use_top_p))
-                if G > 0:
-                    guess_probs = jax.nn.softmax(warp_logits(
-                        logits[GUESS_ROWS], temperature, top_k, top_p,
-                        use_top_p=use_top_p
-                    ), axis=-1).reshape(G, GS, -1)
-                    res = rejection_sample_verify(
-                        probs_next, guess_probs, guesses, guess_valid,
-                        k_verify)
-                    hits, max_hit, winner = res.hits, res.max_hit, res.winner
-                else:
-                    tok = jax.random.categorical(
-                        k_verify, jnp.log(jnp.maximum(probs_next, 1e-38))
-                    ).astype(jnp.int32)
-                    hits = jnp.full((GS,), tok, jnp.int32)
-                    max_hit = jnp.int32(0)
-                    winner = jnp.int32(0)
-
-            # ---- EOS truncation (reference decoding.py:1167-1173).
-            # ``eos_id`` is a [N_EOS] vector (pad slots = -1): any listed id
-            # truncates. (The reference checks only eos_token_id[0] in the
-            # hits walk while tracking all ids for loop exit — we apply all
-            # ids consistently.)
-            hit_pos = jnp.arange(GS, dtype=jnp.int32)
-            is_eos = jnp.any(
-                hits[:, None] == eos_id[None, :], axis=1) & (hit_pos <= max_hit)
-            has_eos = jnp.any(is_eos)
-            max_hit = jnp.where(
-                has_eos, jnp.argmax(is_eos).astype(jnp.int32), max_hit)
+            updates, winner, max_hit = post(
+                state, logits, guesses, guess_valid, lst, prev,
+                max_new, eos_id, temperature, top_p, jnp.int32(M))
 
             # ---- KV commit (reference decoding.py:1145-1163): the winning
             # n-gram's K/V move from the verification region to canonical
@@ -353,113 +500,11 @@ def build_step_fns(
                 k_cache = commit(k_cache)
                 v_cache = commit(v_cache)
 
-            # ---- output append (fixed-size write; tail overwritten later)
-            out_buf = jax.lax.dynamic_update_slice(
-                state.out_buf, hits, (state.n_confirmed,))
-            n_confirmed = state.n_confirmed + 1 + max_hit
-            new_kv_len = kv_len + 1 + max_hit
-
-            # ---- pool harvest (reference update_token_map,
-            # decoding.py:37-78): key ``lst`` takes window column 0; key
-            # L0[i-1] takes column i of the trajectory. With bigram keys
-            # each column is keyed on the PAIR of tokens preceding it.
-            key1 = jnp.concatenate([lst[None], state.window[: W - 1]])
-            traj = state.window[W - 1:].reshape(N - 2, W)     # levels 1..N-2
-            harvest_tups = jnp.concatenate(
-                [traj.T, new_results[:, None]], axis=1)
-            warmed_up = state.step_idx >= N - 2
-            harvest_valid = jnp.full((W,), True) & warmed_up
-            if lcfg.pool_key_len == 2:
-                key0 = jnp.concatenate(
-                    [prev[None], lst[None], state.window[: W - 2]])
-                harvest_keys = bigram_key(key0, key1, rows)
-            else:
-                harvest_keys = key1
-
-            if lcfg.pool_from_prompt:
-                # n-grams ending at each newly accepted token (reference
-                # append_new_generated_pool, decoding.py:80-101, :1177).
-                ends = state.n_confirmed + jnp.arange(GS, dtype=jnp.int32)
-                starts = ends - GS
-                gen_tups = out_buf[starts[:, None] + 1 + jnp.arange(GS)[None, :]]
-                if lcfg.pool_key_len == 2:
-                    gen_keys = bigram_key(
-                        out_buf[jnp.maximum(starts - 1, 0)],
-                        out_buf[starts], rows)
-                    gen_valid = ((jnp.arange(GS) <= max_hit)
-                                 & (starts >= 1))
-                else:
-                    gen_keys = out_buf[starts]
-                    gen_valid = ((jnp.arange(GS) <= max_hit)
-                                 & (starts >= 0))
-                harvest_keys = jnp.concatenate([harvest_keys, gen_keys])
-                harvest_tups = jnp.concatenate([harvest_tups, gen_tups])
-                harvest_valid = jnp.concatenate([harvest_valid, gen_valid])
-
-            pool = pool_update(
-                state.pool, harvest_keys, harvest_tups, harvest_valid)
-
-            # ---- window slide, ALWAYS_FWD_ONE semantics
-            # (decoding.py:1119-1124): L0 <- L1[1:], Lk <- Lk+1, newest <-
-            # new_results. On the flat layout: one static slice + concat.
-            window = jnp.concatenate([state.window[W:], new_results])
-            if not lcfg.always_fwd_one:
-                # AFO=0 (reference decoding.py:562-573): every level
-                # additionally advances by the accepted span — shift each
-                # level segment left by max_hit and refill the vacated tail
-                # with random confirmed-token copies (set_token()). On the
-                # flat buffer: a gather with a traced offset per segment.
-                seg = np.concatenate(
-                    [np.zeros(W - 1, np.int32)]
-                    + [np.full(W, 1 + lv, np.int32) for lv in range(N - 2)])
-                j_in = np.concatenate(
-                    [np.arange(W - 1, dtype=np.int32)]
-                    + [np.arange(W, dtype=np.int32)] * (N - 2))
-                seg_start = np.concatenate(
-                    [np.zeros(W - 1, np.int32)]
-                    + [np.full(W, (W - 1) + lv * W, np.int32)
-                       for lv in range(N - 2)])
-                lw = np.where(seg == 0, W - 1, W).astype(np.int32)
-                shifted_j = j_in + max_hit
-                keep = shifted_j < lw
-                idx = seg_start + jnp.minimum(shifted_j, lw - 1)
-                rng, k_ref = jax.random.split(rng)
-                ridx = jax.random.randint(
-                    k_ref, (n_window,), 0, n_confirmed)
-                window = jnp.where(keep, window[idx], out_buf[ridx])
-            if mode == "sample":
-                # Sampling loop filters EOS out of the newest level to avoid
-                # numerical issues (reference filter_window,
-                # decoding.py:131-135, applied :578-580 AFTER the slide);
-                # replacement is a random copy from the confirmed tokens
-                # (``copy_from``).
-                rng, k_filt = jax.random.split(rng)
-                ridx = jax.random.randint(k_filt, (W,), 0, n_confirmed)
-                newest = window[-W:]
-                hit_eos = jnp.any(
-                    newest[:, None] == eos_id[None, :], axis=1)
-                window = window.at[-W:].set(
-                    jnp.where(hit_eos, out_buf[ridx], newest))
-
-            finished = (
-                state.finished
-                | has_eos
-                | (n_confirmed - state.init_len >= max_new)
-                | (new_kv_len + S > M)      # cache capacity safety stop
-            )
-
             new_state = DecodeState(
                 k_cache=k_cache,
                 v_cache=v_cache,
-                kv_len=new_kv_len,
-                window=window,
-                pool=pool,
-                out_buf=out_buf,
-                n_confirmed=n_confirmed,
                 init_len=state.init_len,
-                step_idx=state.step_idx + 1,
-                finished=finished,
-                rng=rng,
+                **updates,
             )
             # No-op once finished: required for batched (vmapped) decoding,
             # where the while_loop keeps executing until every lane is done.

@@ -52,3 +52,18 @@ def test_chatbot_canned_smoke(monkeypatch, capsys, extra):
     # one throughput report per canned turn
     assert out.count("tok/s]") == len(chatbot.CANNED)
     assert "ASSISTANT:" in out
+
+
+def test_chatbot_kv_reuse_context_full_recovers(monkeypatch, capsys):
+    """ADVICE r4: when the conversation outgrows max_seq_len the REPL must
+    degrade (drop history, retry the turn) instead of crashing."""
+    monkeypatch.setattr(lt, "load_pretrained", _fake_load)
+    monkeypatch.setattr(sys, "argv", [
+        "chatbot.py", "--canned", "--kv-reuse", "--max-new-tokens", "24",
+        "--level", "3", "--window", "4", "--guess", "3",
+        "--max-seq-len", "128", "--prefill-chunk", "16"])
+    chatbot.main()
+    cap = capsys.readouterr()
+    # both canned turns completed (no crash), and the overflow was reported
+    assert cap.out.count("tok/s]") == len(chatbot.CANNED)
+    assert "context full" in cap.err

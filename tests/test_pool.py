@@ -140,3 +140,63 @@ def test_host_fill_on_warm_pool_never_rewinds_lru_time():
     got = {tuple(v) for v, ok in zip(np.asarray(vals), np.asarray(valid))
            if ok}
     assert (2, 3) in got
+
+
+def test_host_fill_merge_keeps_undisplaced_warm_entries():
+    """merge=True (the prefix-cache suffix-fill path, ADVICE r4): fill
+    entries LRU-insert into the key's existing row, so warm entries the
+    fill doesn't displace survive; merge == set on cold rows."""
+    from lookaheaddecoding_tpu.core.pool import apply_host_fill, host_prompt_fill
+
+    pool = pool_init(32, guess_set_size=3, guess_size=2)
+    # warm key 1 holds (20, 21); key 9 is untouched warm context
+    pool = upd(pool, [(1, (20, 21)), (9, (10, 11))])
+    warm_clock = int(pool.clock)
+
+    prompt = [1, 2, 3, 4]           # fills key 1 -> (2,3), key 2 -> (3,4)
+    fill = host_prompt_fill(prompt, level=3, guess_set_size=3, pad_to=16)
+
+    # whole-row set (old behavior) clobbers the warm entry
+    vals, valid = pool_lookup(apply_host_fill(pool, *fill), jnp.int32(1))
+    wiped = {tuple(v) for v, ok in zip(np.asarray(vals), np.asarray(valid))
+             if ok}
+    assert (20, 21) not in wiped
+
+    merged = apply_host_fill(pool, *fill, merge=True)
+    vals, valid = pool_lookup(merged, jnp.int32(1))
+    got = {tuple(v) for v, ok in zip(np.asarray(vals), np.asarray(valid))
+           if ok}
+    assert (2, 3) in got and (20, 21) in got       # warm entry survives
+    # fill entries still rank newer than the warm clock; untouched key kept
+    ages = np.asarray(merged.age[1])
+    assert (ages[ages > 0] > 0).all() and ages.max() > warm_clock
+    np.testing.assert_array_equal(np.asarray(merged.values[9]),
+                                  np.asarray(pool.values[9]))
+
+    # cold-row equivalence: merge and set produce identical CONTENT
+    cold = pool_init(32, guess_set_size=3, guess_size=2)
+    a, _ = pool_lookup(apply_host_fill(cold, *fill), jnp.int32(2))
+    b, _ = pool_lookup(apply_host_fill(cold, *fill, merge=True), jnp.int32(2))
+    assert ({tuple(v) for v in np.asarray(a)}
+            == {tuple(v) for v in np.asarray(b)})
+
+
+def test_host_fill_merge_refreshes_matching_entry():
+    """A fill entry equal to a warm entry must REFRESH it (move-to-back),
+    not duplicate it — the reference's dedupe rule (decoding.py:42-49)."""
+    from lookaheaddecoding_tpu.core.pool import apply_host_fill, host_prompt_fill
+
+    pool = pool_init(32, guess_set_size=3, guess_size=2)
+    pool = upd(pool, [(1, (2, 3)), (1, (5, 6))])
+    prompt = [1, 2, 3]              # fills key 1 -> (2,3): a duplicate
+    fill = host_prompt_fill(prompt, level=3, guess_set_size=3, pad_to=16)
+    merged = apply_host_fill(pool, *fill, merge=True)
+    vals, valid = pool_lookup(merged, jnp.int32(1))
+    rows = [tuple(v) for v, ok in zip(np.asarray(vals), np.asarray(valid))
+            if ok]
+    assert sorted(rows) == [(2, 3), (5, 6)]        # no duplicate slot
+    ages = np.asarray(merged.age[1])
+    live = [(tuple(v), a) for v, a in zip(np.asarray(merged.values[1]), ages)
+            if a > 0]
+    # the refreshed (2,3) is now the NEWEST entry
+    assert max(live, key=lambda t: t[1])[0] == (2, 3)

@@ -448,3 +448,36 @@ def test_streaming_in_throughput_and_adaptive_modes():
             np.testing.assert_array_equal(
                 np.concatenate(got[i]), by_id[i].new_tokens,
                 err_msg=f"{objective} req {i}")
+
+
+def test_adaptive_head_of_line_guard():
+    """ADVICE r4: one slow active request + deep backlog must not idle the
+    rest of the fleet — once at least half the lanes are free, queued
+    requests are admitted to them; outputs still match standalone runs."""
+    eng = tiny_engine()
+    rng = np.random.RandomState(15)
+    long_p = list(rng.randint(0, 128, size=10))
+    shorts = [list(rng.randint(0, 128, size=8)) for _ in range(6)]
+    single_long = eng.generate(long_p, 48, seed=99)
+    single_shorts = [eng.generate(p, 4, seed=i)
+                     for i, p in enumerate(shorts)]
+    server = ContinuousBatchingEngine(eng, num_lanes=4, objective="adaptive",
+                                      steps_per_sync=1)
+    server.submit(Request(prompt=long_p, max_new_tokens=48, seed=99,
+                          request_id="long"))
+    server.step()                      # queue not deep -> long admitted
+    assert len(server._active) == 1
+    for i, p in enumerate(shorts):     # deep backlog lands mid-decode
+        server.submit(Request(prompt=p, max_new_tokens=4, seed=i,
+                              request_id=i))
+    server.step()
+    # 3 free lanes >= num_lanes//2 -> backlog admitted instead of idling
+    assert len(server._active) == 4
+    while server.step():
+        pass
+    results, server._results = server._results, []
+    assert len(results) == 7
+    by_id = {r.request_id: r for r in results}
+    np.testing.assert_array_equal(by_id["long"].tokens, single_long.tokens)
+    for i, s in enumerate(single_shorts):
+        np.testing.assert_array_equal(by_id[i].tokens, s.tokens)
