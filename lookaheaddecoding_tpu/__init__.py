@@ -13,6 +13,7 @@ from .models.convert import convert_hf_model, convert_hf_state_dict, load_pretra
 from .utils.logging import DecodeLog
 from .utils.checkpoint import load_params, save_params
 from .core.serving import ContinuousBatchingEngine, Request
+from .core.paged_serving import PagedPrefix, PagedServingEngine
 from .ops.quant import quantize_params
 from .utils.tuning import TuneResult, autotune
 
@@ -35,6 +36,8 @@ __all__ = [
     "save_params",
     "ContinuousBatchingEngine",
     "Request",
+    "PagedServingEngine",
+    "PagedPrefix",
     "quantize_params",
     "autotune",
     "TuneResult",

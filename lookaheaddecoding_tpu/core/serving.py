@@ -43,6 +43,10 @@ class Request:
     # drains deliver the whole output in one call at completion — the same
     # trade the TTFT accounting records). Exceptions propagate to step().
     on_tokens: Optional[object] = None
+    # paged serving only: attach result.prefix, a PagedPrefix over this
+    # request's confirmed tokens (conversation KV carry at O(pages) cost —
+    # refcounted pool pages, not a full-capacity buffer copy)
+    return_prefix: bool = False
 
 
 class ContinuousBatchingEngine:

@@ -686,6 +686,148 @@ def forward(
     return logits, k_cache, v_cache
 
 
+def forward_paged(
+    params: Dict,
+    cfg: LlamaConfig,
+    tokens: jax.Array,        # [B, T] int32 composite / prefill chunk
+    positions: jax.Array,     # [B, T] int32 absolute positions per lane
+    k_pool,                   # [L, Hkv, P, D] shared pool (or int8 dict)
+    v_pool,
+    tables: jax.Array,        # [B, NB] logical -> physical page table
+    write_start: jax.Array,   # [B] logical cache slot of tokens[b, 0]
+    page_size: int,
+    mask: Optional[jax.Array],  # [B, T, NB*page_size] additive fp32, or None
+    rope_cos: jax.Array,
+    rope_sin: jax.Array,
+    logits_rows: Optional[jax.Array] = None,
+    attn_impl: str = "xla",
+    attn_meta: Optional[Dict] = None,   # pallas: kv_lens [B] + W/N/GS etc.
+    write_limit: Optional[jax.Array] = None,  # [B]: rows at logical slots
+    trash_slot: Optional[jax.Array] = None,   # >= limit write to the lane's
+                                              # trash page (prefill padding)
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Lane-batched forward over the SHARED paged KV pool (core/paged.py).
+
+    The flat :func:`forward` threads one sequence's private [L, Hkv, M, D]
+    buffers through the layer scan; here B lanes write disjoint physical
+    slots of one pool (K/V scatters through each lane's page table) and
+    attention reads each lane's logical view — gathered contiguously on the
+    XLA path, read in place via the page-table index map in the Pallas path
+    (ops/lookahead_attention.py:paged_lookahead_attention). This cannot be
+    a ``vmap`` of :func:`forward`: vmapping a mutated shared operand would
+    give every lane its own full-pool copy with no way to merge the writes.
+
+    Same math as :func:`forward` otherwise (the reference equivalent is its
+    single-sequence composite forward, modeling_llama.py:1381-1608, which
+    asserts batch==1 at :1448 — batching is beyond-reference). pp and
+    dynamic-NTK rope are not supported on the paged path (the serving
+    engine rejects them at build). Returns (logits [B, R, V], k_pool,
+    v_pool)."""
+    h = cfg.hidden_size
+    hq, hkv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    b, t = tokens.shape
+    from ..core.paged import paged_gather, paged_write, phys_slots
+
+    x = jnp.take(params["embed"], tokens, axis=0)          # [B, T, H]
+    if cfg.scale_embeddings:
+        x = x * jnp.asarray(math.sqrt(h), cfg.dtype)
+    cos = jnp.take(rope_cos, positions, axis=0)            # [B, T, D]
+    sin = jnp.take(rope_sin, positions, axis=0)
+
+    slots = phys_slots(tables, write_start, t, page_size)  # [B, T]
+    if write_limit is not None:
+        # prefill tail padding: rows past the prompt must not touch real
+        # slots (their logical pages may not even be allocated); the lane's
+        # reserved trash page absorbs them
+        m = write_start[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
+        slots = jnp.where(m >= write_limit[:, None],
+                          trash_slot[:, None] + m % page_size, slots)
+    slots_flat = slots.reshape(b * t)
+
+    lp = params["layers"]
+    act = act_fn(cfg)
+    from ..ops.quant import qmatmul
+
+    def mm(y, w):                     # [B, T, K] @ [K, N] via 2-D qmatmul
+        out = qmatmul(y.reshape(b * t, -1), w)
+        return out.reshape(b, t, -1)
+
+    def rope3(z, n_heads):            # [B, T, n*d] -> rotated [B, T, n, d]
+        zf = z.reshape(b, t, n_heads, d).astype(jnp.float32)
+        z1, z2 = zf[..., : d // 2], zf[..., d // 2:]
+        rot = jnp.concatenate([-z2, z1], axis=-1)
+        out = zf * cos[:, :, None, :] + rot * sin[:, :, None, :]
+        return out.astype(z.dtype)
+
+    def layer_fn(x, scanned):
+        p, kc, vc = scanned
+        y = rms_norm(x, p["input_norm"], cfg.rms_norm_eps,
+                     cfg.rms_norm_offset)
+        if "wqkv" in p:
+            qkv = mm(y, p["wqkv"])
+            if cfg.attention_bias:
+                qkv = qkv + p["bqkv"]
+            q = qkv[..., : hq * d]
+            k = qkv[..., hq * d: (hq + hkv) * d]
+            vv = qkv[..., (hq + hkv) * d:]
+        else:
+            q = mm(y, p["wq"])
+            k = mm(y, p["wk"])
+            vv = mm(y, p["wv"])
+            if cfg.attention_bias:
+                q, k, vv = q + p["bq"], k + p["bk"], vv + p["bv"]
+        if os.environ.get("LADE_QKV_BARRIER", "1") != "0":
+            # same layout firewall as the flat forward (see forward())
+            q, k, vv = jax.lax.optimization_barrier((q, k, vv))
+        q = rope3(q, hq)                                   # [B, T, Hq, D]
+        k = rope3(k, hkv)
+        vv = vv.reshape(b, t, hkv, d)
+        kc = paged_write(kc, slots_flat, k.reshape(b * t, hkv, d))
+        vc = paged_write(vc, slots_flat, vv.reshape(b * t, hkv, d))
+        if attn_impl == "pallas":
+            from ..ops.lookahead_attention import paged_lookahead_attention
+            attn = paged_lookahead_attention(
+                q, kc, vc, attn_meta["kv_lens"], tables,
+                level=attn_meta["level"], window=attn_meta["window"],
+                guess_size=attn_meta["guess_size"], page_size=page_size,
+                causal=attn_meta.get("causal", False),
+                sliding_window=attn_meta.get("sliding_window", 0),
+                interpret=attn_meta.get("interpret", False))
+        else:
+            kv = paged_gather(kc, tables, page_size)   # [B, Hkv, Mlog, D]
+            vl = paged_gather(vc, tables, page_size)
+            attn = jax.vmap(attention_xla)(q, kv, vl, mask)  # [B, T, Hq*D]
+        x = x + mm(attn.astype(cfg.dtype), p["wo"])
+        y = rms_norm(x, p["post_norm"], cfg.rms_norm_eps,
+                     cfg.rms_norm_offset)
+        inter = cfg.intermediate_size
+        if "w_gate_up" in p:
+            gu = mm(y, p["w_gate_up"])
+            gate_in, up = gu[..., :inter], gu[..., inter:]
+        else:
+            gate_in, up = mm(y, p["w_gate"]), mm(y, p["w_up"])
+        gate = act(gate_in.astype(jnp.float32)).astype(cfg.dtype)
+        x = x + mm(gate * up, p["w_down"])
+        return x, (kc, vc)
+
+    x, (k_pool, v_pool) = jax.lax.scan(layer_fn, x, (lp, k_pool, v_pool))
+
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps,
+                 cfg.rms_norm_offset)
+    if logits_rows is not None:
+        x = jnp.take(x, logits_rows, axis=1)
+    head = params.get("lm_head")
+    if x.shape[1] == 0:          # prefill: no logits consumed
+        logits = jnp.zeros((b, 0, cfg.vocab_size), jnp.float32)
+    elif head is None:
+        logits = (x @ params["embed"].T).astype(jnp.float32)
+    else:
+        r = x.shape[1]
+        logits = qmatmul(x.reshape(b * r, h), head).astype(
+            jnp.float32).reshape(b, r, cfg.vocab_size)
+    return logits, k_pool, v_pool
+
+
 def forward_train(
     params: Dict,
     cfg: LlamaConfig,

@@ -278,6 +278,190 @@ def _kernel(kv_len_ref, q_ref, k_ref, v_ref, *rest,
                 q_ref.shape[0], rep, q_ref.shape[3])
 
 
+def _paged_kernel(kv_lens_ref, tables_ref, q_ref, k_ref, v_ref, *rest,
+                  level, window, guess_size, s_len, block_k, n_blocks,
+                  n_heads, rep, scale, quantized, causal, sliding_window):
+    """Lane-batched paged variant of :func:`_kernel`: grid (lane, logical
+    page); the KV operand blocks are fetched from the PHYSICAL page
+    ``tables[b, j]`` by the index map (the paged-attention pattern), while
+    all mask arithmetic stays in LOGICAL column space. Per-lane ``kv_len``
+    drives the same not-yet-live block skipping as the flat kernel."""
+    if quantized:
+        ks_ref, vs_ref, o_ref, acc_ref, m_ref, l_ref = rest
+    else:
+        o_ref, acc_ref, m_ref, l_ref = rest
+        ks_ref = vs_ref = None
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    kv_len = kv_lens_ref[b]
+    rows = q_ref.shape[1] * q_ref.shape[3]
+
+    last_active = jnp.maximum(
+        (kv_len + s_len + block_k - 1) // block_k - 1, 0)
+    if sliding_window:
+        first_active = jnp.maximum(
+            (kv_len - sliding_window + 1) // block_k, 0)
+    else:
+        first_active = 0
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    @pl.when((j <= last_active) & (j >= first_active))
+    def _compute():
+        visible = _block_mask(
+            kv_len, j, rows=rows, rep=rep, block_k=block_k, s_len=s_len,
+            level=level, window=window, guess_size=guess_size, causal=causal,
+            sliding_window=sliding_window)
+
+        for g in range(n_heads):
+            blk = q_ref[0, :, g]                         # [S_pad, rep, D]
+            q = blk.reshape(blk.shape[0] * blk.shape[1], blk.shape[2])
+            k = k_ref[g]
+            v = v_ref[g]
+            if quantized:
+                k = k.astype(q.dtype)
+                v = v.astype(q.dtype)
+
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            if quantized:
+                s = s * ks_ref[g][None, :]
+            s = jnp.where(visible, s, NEG_INF)
+
+            m_prev = m_ref[g, :, :1]
+            m_cur = jnp.max(s, axis=1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            p = jnp.exp(s - jnp.where(m_new == NEG_INF, 0.0, m_new))
+            p = jnp.where(visible, p, 0.0)
+            alpha = jnp.exp(
+                jnp.where(m_prev == NEG_INF, NEG_INF, m_prev - m_new))
+            alpha = jnp.where(m_new == NEG_INF, 0.0, alpha)
+
+            l_ref[g] = alpha * l_ref[g] + jnp.sum(p, axis=1, keepdims=True)
+            if quantized:
+                p = p * vs_ref[g][None, :]
+            acc_ref[g] = acc_ref[g] * alpha + jax.lax.dot_general(
+                p.astype(q.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            m_ref[g] = jnp.broadcast_to(m_new, m_ref.shape[1:])
+
+    @pl.when(j == n_blocks - 1)
+    def _finalize():
+        for g in range(n_heads):
+            denom = jnp.maximum(l_ref[g, :, :1], 1e-30)
+            o = acc_ref[g] / denom
+            o_ref[0, :, g] = o.astype(o_ref.dtype).reshape(
+                q_ref.shape[1], rep, q_ref.shape[4])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("level", "window", "guess_size", "page_size",
+                     "interpret", "causal", "sliding_window"))
+def paged_lookahead_attention(
+    q: jax.Array,          # [B, S, Hq, D]
+    k,                     # [Hkv, P, D] shared pool slice, or int8 dict
+    v,
+    kv_lens: jax.Array,    # [B] int32
+    tables: jax.Array,     # [B, NB] int32 logical -> physical page
+    *,
+    level: int,
+    window: int,
+    guess_size: int,
+    page_size: int,
+    interpret: bool = False,
+    causal: bool = False,
+    sliding_window: int = 0,
+) -> jax.Array:
+    """Fused composite-mask attention over the paged KV pool
+    (core/paged.py): each lane's logical KV blocks are read IN PLACE from
+    their physical pages via the scalar-prefetched table — no per-step
+    gather of the cache (the XLA fallback, core/paged.py:paged_gather,
+    materializes a contiguous copy per layer). Returns [B, S, Hq*D]."""
+    quantized = isinstance(k, dict)
+    if quantized:
+        k_scale, v_scale = k["s"], v["s"]
+        k, v = k["q"], v["q"]
+    b, s_len, hq, d = q.shape
+    hkv, p, _ = k.shape
+    rep = hq // hkv
+    nb = tables.shape[1]
+    block_k = page_size
+    assert p % page_size == 0
+    scale = 1.0 / math.sqrt(d)
+
+    s_pad = s_len
+    while (s_pad * rep) % 8:
+        s_pad += 1
+    q5 = q.reshape(b, s_len, hkv, rep, d)
+    if s_pad != s_len:
+        q5 = jnp.pad(q5, ((0, 0), (0, s_pad - s_len), (0, 0), (0, 0), (0, 0)))
+
+    kernel = functools.partial(
+        _paged_kernel, level=level, window=window, guess_size=guess_size,
+        s_len=s_len, block_k=block_k, n_blocks=nb, n_heads=hkv, rep=rep,
+        scale=scale, quantized=quantized, causal=causal,
+        sliding_window=sliding_window)
+    scratch_shapes = [
+        pltpu.VMEM((hkv, s_pad * rep, d), jnp.float32),      # acc
+        pltpu.VMEM((hkv, s_pad * rep, 128), jnp.float32),    # running max
+        pltpu.VMEM((hkv, s_pad * rep, 128), jnp.float32),    # running denom
+    ]
+
+    def page_of(bi, j, kv_lens_ref, tables_ref):
+        last_active = jnp.maximum(
+            (kv_lens_ref[bi] + s_len + block_k - 1) // block_k - 1, 0)
+        jj = jnp.minimum(j, last_active)
+        if sliding_window:
+            jj = jnp.maximum(jj, jnp.maximum(
+                (kv_lens_ref[bi] - sliding_window + 1) // block_k, 0))
+        return tables_ref[bi, jj]
+
+    def kv_index(bi, j, kv_lens_ref, tables_ref):
+        return (0, page_of(bi, j, kv_lens_ref, tables_ref), 0)
+
+    def kv_index2(bi, j, kv_lens_ref, tables_ref):
+        return (0, page_of(bi, j, kv_lens_ref, tables_ref))
+
+    in_specs = [
+        pl.BlockSpec((1, s_pad, hkv, rep, d),
+                     lambda bi, j, kl, tb: (bi, 0, 0, 0, 0)),
+        pl.BlockSpec((hkv, block_k, d), kv_index),
+        pl.BlockSpec((hkv, block_k, d), kv_index),
+    ]
+    operands = [q5, k, v]
+    if quantized:
+        in_specs += [pl.BlockSpec((hkv, block_k), kv_index2),
+                     pl.BlockSpec((hkv, block_k), kv_index2)]
+        operands += [k_scale[:, :, 0].astype(jnp.float32),
+                     v_scale[:, :, 0].astype(jnp.float32)]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, nb),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, s_pad, hkv, rep, d),
+                               lambda bi, j, kl, tb: (bi, 0, 0, 0, 0)),
+        scratch_shapes=scratch_shapes,
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, s_pad, hkv, rep, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interpret,
+    )(kv_lens.astype(jnp.int32), tables.astype(jnp.int32), *operands)
+
+    return out[:, :s_len].reshape(b, s_len, hq * d)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("level", "window", "guess_size", "block_k", "interpret",
