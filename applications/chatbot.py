@@ -46,6 +46,11 @@ def main():
                     "caching): each turn prefills only the new user "
                     "message. History is tokenized per segment so earlier "
                     "token ids never change.")
+    ap.add_argument("--steps-per-yield", type=int, default=1,
+                    help="decode steps fused per streamed chunk: >1 "
+                    "amortizes the per-step dispatch round trip (tens of "
+                    "ms over a remote-TPU link) at the cost of chunkier "
+                    "streaming; output is identical for any value")
     ap.add_argument("--seed", type=int, default=None,
                     help="base sampling seed; default draws one from the "
                     "OS so repeated --do-sample runs actually vary. Each "
@@ -119,7 +124,8 @@ def main():
                 eng.generate_stream(new_hist, args.max_new_tokens,
                                     eos_token_id=tok.eos_token_id,
                                     seed=turn_seed, sampling=sampling,
-                                    prefix=last_px, return_prefix=True),
+                                    prefix=last_px, return_prefix=True,
+                                    steps_per_yield=args.steps_per_yield),
                 time.time())
             hist_ids = new_hist + pieces
             return
@@ -128,7 +134,8 @@ def main():
         prev, _, _ = stream_print(
             eng.generate_stream(prompt, args.max_new_tokens,
                                 eos_token_id=tok.eos_token_id,
-                                seed=turn_seed, sampling=sampling),
+                                seed=turn_seed, sampling=sampling,
+                                steps_per_yield=args.steps_per_yield),
             time.time())
         history = new_history + prev
 

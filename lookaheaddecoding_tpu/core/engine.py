@@ -233,6 +233,8 @@ class LookaheadEngine:
         self._baseline_step = jax.jit(fns.baseline_step, donate_argnums=self._don)
         self._sample_loops = {}   # (top_k, use_top_p) -> jitted sampling loop
         self._sample_steps = {}   # (top_k, use_top_p) -> jitted per-step fn
+        self._multi_steps = {}    # (kind, k) -> jitted k-step fori wrapper
+        self._vfused_sample = {}  # (top_k, use_top_p) -> batched sample loop
         self._vfused = None       # batched fused generate (built lazily)
         self._fused_px = {}       # prefix-cache fused variants (lazy)
         self._vfused_px = None    # batched generate with a shared prefix
@@ -614,8 +616,11 @@ class LookaheadEngine:
         seed: int = 0,
         seeds: Optional[Sequence[int]] = None,
         prefix: Optional[PrefixCache] = None,
+        sampling: "SamplingConfig" = None,
+        temperatures: Optional[Sequence[float]] = None,
+        top_ps: Optional[Sequence[float]] = None,
     ) -> list:
-        """Batched greedy lookahead decoding: every request runs the full
+        """Batched lookahead decoding: every request runs the full
         per-sequence lookahead machinery (own window, pool, KV cache) under
         one vmapped ``lax.while_loop``; lanes no-op once finished. The
         reference asserts batch==1 (modeling_llama.py:1448) — this is a
@@ -624,10 +629,18 @@ class LookaheadEngine:
         ``seeds`` gives every prompt its exact per-request seed (matching a
         standalone ``generate(p, n, seed=seeds[i])``); default ``seed + i``.
 
+        ``sampling`` switches every lane to SpecInfer rejection-sampling
+        verification, token-identical per lane to
+        ``generate_sample(p, n, sampling, seed=seeds[i])``. ``top_k`` and
+        the top_p-enabled flag are compile-time (same rule as
+        generate_sample); ``temperatures``/``top_ps`` override the config
+        PER LANE (dynamic — no recompile).
+
         ``prefix`` is ONE shared PrefixCache (e.g. the batch's common
         system prompt): every prompt must start with its tokens; the
         cached KV broadcasts across lanes and each lane prefills only its
         own suffix."""
+        from ..config import SamplingConfig
         t0 = time.perf_counter()
         if not prompts:
             raise ValueError("generate_batch needs at least one prompt")
@@ -635,6 +648,22 @@ class LookaheadEngine:
             raise ValueError("seeds must match prompts in length")
         if seeds is None:
             seeds = [seed + i for i in range(len(prompts))]
+        if sampling is None and (temperatures is not None
+                                 or top_ps is not None):
+            raise ValueError(
+                "temperatures/top_ps need sampling=SamplingConfig(...)")
+        if sampling is not None:
+            if temperatures is None:
+                temperatures = [sampling.temperature] * len(prompts)
+            if top_ps is None:
+                top_ps = [sampling.top_p] * len(prompts)
+            if (len(temperatures) != len(prompts)
+                    or len(top_ps) != len(prompts)):
+                raise ValueError(
+                    "temperatures/top_ps must match prompts in length")
+            for t, p in zip(temperatures, top_ps):
+                # reuse SamplingConfig's own validation rules per lane
+                dataclasses.replace(sampling, temperature=t, top_p=p)
         if prefix is not None:
             for pr in prompts:
                 self._check_prefix(prefix, pr)
@@ -651,30 +680,58 @@ class LookaheadEngine:
             fills = tuple(
                 jnp.stack([jnp.asarray(a[3][j]) for a in args])
                 for j in range(4))
-        if prefix is None:
-            if self._vfused is None:
-                prep = self._make_fused(None)
+        skey = None
+        if sampling is not None:
+            skey = (sampling.top_k, sampling.top_p < 1.0)
+            extra = (jnp.asarray(temperatures, jnp.float32),
+                     jnp.asarray(top_ps, jnp.float32))
+        else:
+            extra = ()
 
-                def bcall(params, out_bufs, ps, rngs, fills, max_new, eos):
+        def get_loop():
+            if skey is None:
+                return self._fns.decode_loop
+            return build_step_fns(self.mcfg, self.lcfg, self.ecfg,
+                                  self.layout, top_k=skey[0],
+                                  use_top_p=skey[1],
+                                  mesh=self.mesh).sample_loop
+
+        if prefix is None:
+            fused = self._vfused if skey is None \
+                else self._vfused_sample.get(skey)
+            if fused is None:
+                prep = self._make_fused(None)
+                loop = get_loop()
+
+                def bcall(params, out_bufs, ps, rngs, fills, max_new, eos,
+                          *extra):
                     states = jax.vmap(
                         prep, in_axes=(None, 0, 0, 0,
                                        None if fills is None else 0))(
                         params, out_bufs, ps, rngs, fills)
+                    # per-lane temperature/top_p vmap over the loop extras
                     return jax.vmap(
-                        self._fns.decode_loop,
-                        in_axes=(None, 0, None, None))(
-                        params, states, max_new, eos)
+                        loop,
+                        in_axes=(None, 0, None, None) + (0,) * len(extra))(
+                        params, states, max_new, eos, *extra)
 
-                self._vfused = jax.jit(bcall, donate_argnums=self._don)
-            batched = self._vfused(self.params, out_bufs, ps, rngs, fills,
-                                   jnp.int32(max_new_tokens),
-                                   _eos_vec(eos_token_id))
+                fused = jax.jit(bcall, donate_argnums=self._don)
+                if skey is None:
+                    self._vfused = fused
+                else:
+                    self._vfused_sample[skey] = fused
+            batched = fused(self.params, out_bufs, ps, rngs, fills,
+                            jnp.int32(max_new_tokens),
+                            _eos_vec(eos_token_id), *extra)
         else:
-            if self._vfused_px is None:
+            pxkey = ("batch_px",) + (skey or ())
+            fused = self._fused_px.get(pxkey)
+            if fused is None:
                 prep_px = self._make_fused_prefix(None)
+                loop = get_loop()
 
                 def bcall_px(params, out_bufs, ps, rngs, fills,
-                             pk, pv, plen, ppool, max_new, eos):
+                             pk, pv, plen, ppool, max_new, eos, *extra):
                     # the shared prefix KV (and warm pool) broadcasts
                     # (in_axes=None): XLA materializes each lane's private
                     # copy only when the lane first writes its suffix rows
@@ -685,17 +742,18 @@ class LookaheadEngine:
                         params, out_bufs, ps, rngs, fills, pk, pv, plen,
                         ppool)
                     return jax.vmap(
-                        self._fns.decode_loop,
-                        in_axes=(None, 0, None, None))(
-                        params, states, max_new, eos)
+                        loop,
+                        in_axes=(None, 0, None, None) + (0,) * len(extra))(
+                        params, states, max_new, eos, *extra)
 
-                self._vfused_px = jax.jit(bcall_px, donate_argnums=self._don)
-            batched = self._vfused_px(self.params, out_bufs, ps, rngs,
-                                      fills, prefix.k_cache, prefix.v_cache,
-                                      jnp.int32(prefix.length),
-                                      self._prefix_pool(prefix),
-                                      jnp.int32(max_new_tokens),
-                                      _eos_vec(eos_token_id))
+                fused = jax.jit(bcall_px, donate_argnums=self._don)
+                self._fused_px[pxkey] = fused
+            batched = fused(self.params, out_bufs, ps, rngs,
+                            fills, prefix.k_cache, prefix.v_cache,
+                            jnp.int32(prefix.length),
+                            self._prefix_pool(prefix),
+                            jnp.int32(max_new_tokens),
+                            _eos_vec(eos_token_id), *extra)
         # one batched readback for every lane's scalars + tokens
         n_conf, init_len, steps, bufs = jax.device_get(
             (batched.n_confirmed, batched.init_len, batched.step_idx,
@@ -729,6 +787,29 @@ class LookaheadEngine:
         return self._finalize(state, max_new_tokens, t0,
                               return_prefix=return_prefix)
 
+    def _get_multi_step(self, kind, k: int, build=None):
+        """K decode steps fused into one jitted dispatch (fori_loop; the
+        step no-ops once finished, so any K is output-identical)."""
+        key = (kind, k)
+        fn = self._multi_steps.get(key)
+        if fn is None:
+            if kind == "greedy":
+                base = self._fns.decode_step
+            elif kind == "baseline":
+                base = self._fns.baseline_step
+            else:
+                base = build()
+
+            def multi(params, state, max_new, eos, *extra):
+                return jax.lax.fori_loop(
+                    0, k,
+                    lambda _, s: base(params, s, max_new, eos, *extra),
+                    state)
+
+            fn = jax.jit(multi, donate_argnums=self._don)
+            self._multi_steps[key] = fn
+        return fn
+
     def generate_stream(
         self,
         prompt_ids: Sequence[int],
@@ -739,6 +820,7 @@ class LookaheadEngine:
         sampling: "SamplingConfig" = None,
         prefix: Optional[PrefixCache] = None,
         return_prefix: bool = False,
+        steps_per_yield: int = 1,
     ) -> Iterator[np.ndarray]:
         """Streaming mode: yields the newly accepted token ids after every
         decode step (chat-mode analog; ``lookahead=False`` is the plain
@@ -749,15 +831,28 @@ class LookaheadEngine:
         generator's StopIteration VALUE is a PrefixCache over the finished
         conversation (catch it via ``except StopIteration as e:
         pc = e.value`` or drive with ``yield from``) — the next turn
-        prefills only the new user message."""
+        prefills only the new user message.
+
+        ``steps_per_yield`` fuses K decode steps per jitted dispatch (a
+        ``fori_loop``, like serving's steps_per_sync): over a remote-TPU
+        link each dispatch + scalar readback is a round trip of tens of
+        ms, so K>1 trades chunkier output for per-token throughput
+        approaching the fused ``generate``; a finished sequence no-ops the
+        remaining steps, so output is IDENTICAL for any K — only the
+        chunking of the yields changes."""
         if return_prefix:
             self._reject_dynamic_prefix()
+        if steps_per_yield < 1:
+            raise ValueError("steps_per_yield must be >= 1")
         state = self._prepare(prompt_ids, seed, prefix=prefix)
         eos = _eos_vec(eos_token_id)
         max_new = jnp.int32(max_new_tokens)
         extra = ()
         if sampling is None:
             step = self._step if lookahead else self._baseline_step
+            if steps_per_yield > 1:
+                step = self._get_multi_step(
+                    "greedy" if lookahead else "baseline", steps_per_yield)
         else:
             if not lookahead:
                 raise ValueError(
@@ -765,13 +860,22 @@ class LookaheadEngine:
                     "baseline streaming loop is greedy, as in reference "
                     "greedy_search_chat)")
             key = (sampling.top_k, sampling.top_p < 1.0)
-            step = self._sample_steps.get(key)
-            if step is None:
-                fns = build_step_fns(self.mcfg, self.lcfg, self.ecfg,
-                                     self.layout, top_k=sampling.top_k,
-                                     use_top_p=key[1], mesh=self.mesh)
-                step = jax.jit(fns.sample_step, donate_argnums=self._don)
-                self._sample_steps[key] = step
+
+            def build_sample_step():
+                return build_step_fns(self.mcfg, self.lcfg, self.ecfg,
+                                      self.layout, top_k=sampling.top_k,
+                                      use_top_p=key[1],
+                                      mesh=self.mesh).sample_step
+
+            if steps_per_yield > 1:
+                step = self._get_multi_step(
+                    ("sample",) + key, steps_per_yield, build_sample_step)
+            else:
+                step = self._sample_steps.get(key)
+                if step is None:
+                    step = jax.jit(build_sample_step(),
+                                   donate_argnums=self._don)
+                    self._sample_steps[key] = step
             extra = (jnp.float32(sampling.temperature),
                      jnp.float32(sampling.top_p))
         init_len = int(state.init_len)

@@ -92,9 +92,6 @@ class ContinuousBatchingEngine:
             raise ValueError(f"unknown objective: {objective!r}")
         if batch_group < 1:
             raise ValueError("batch_group must be >= 1")
-        if batch_group > 1 and sampling is not None:
-            raise ValueError("batch_group > 1 supports greedy mode only "
-                             "(generate_batch has no sampling path)")
         self.engine = engine
         self.num_lanes = num_lanes
         self.sampling = sampling
@@ -308,23 +305,35 @@ class ContinuousBatchingEngine:
                         for r in group}
             except ValueError:
                 keys = None   # a bad eos list: 1-by-1 so it fails alone
-            # requests with sampling overrides never group: in greedy mode
+            # In greedy mode, requests with sampling overrides never group:
             # they must FAIL (generate_batch would silently run greedy —
-            # the bug the override rejection exists to prevent); prefix
-            # requests group only when every request shares the SAME
-            # PrefixCache (generate_batch broadcasts one shared prefix)
-            no_overrides = all(r.temperature is None and r.top_p is None
-                               for r in group)
+            # the bug the override rejection exists to prevent). Sampling
+            # engines group freely: per-request temperature/top_p ride as
+            # generate_batch's per-lane arrays. Prefix requests group only
+            # when every request shares the SAME PrefixCache
+            # (generate_batch broadcasts one shared prefix).
+            no_overrides = (self.sampling is not None
+                            or all(r.temperature is None and r.top_p is None
+                                   for r in group))
             shared_px = {id(r.prefix) for r in group}
             if (keys is not None and len(group) > 1 and len(keys) == 1
                     and no_overrides and len(shared_px) == 1):
+                skw = {}
+                if self.sampling is not None:
+                    skw = dict(
+                        sampling=self.sampling,
+                        temperatures=[
+                            self.sampling.temperature if r.temperature
+                            is None else r.temperature for r in group],
+                        top_ps=[self.sampling.top_p if r.top_p is None
+                                else r.top_p for r in group])
                 try:
                     outs = self.engine.generate_batch(
                         [r.prompt for r in group],
                         group[0].max_new_tokens,
                         eos_token_id=group[0].eos_token_id,
                         seeds=[r.seed for r in group],
-                        prefix=group[0].prefix)
+                        prefix=group[0].prefix, **skw)
                     now = time.perf_counter()
                     for r, o, t in zip(group, outs, submits):
                         o.request_id = r.request_id

@@ -197,3 +197,59 @@ def test_dynamic_ntk_engine_end_to_end():
     r = eng.generate(prompt, 48)      # crosses the max_pos=32 threshold
     rb = eng.generate_baseline(prompt, 48)
     np.testing.assert_array_equal(r.tokens, rb.tokens)
+
+
+def test_generate_batch_sampling_matches_individual():
+    """Sampling-mode batched decode (round 5): per-lane seeds AND per-lane
+    temperature/top_p must reproduce each standalone generate_sample."""
+    eng = tiny_engine()
+    rng = np.random.RandomState(17)
+    prompts = [list(rng.randint(0, 128, size=n)) for n in (10, 14, 8)]
+    scfg = lt.SamplingConfig(temperature=0.9, top_k=16)
+    temps = [0.9, 0.6, 1.2]
+    singles = [
+        eng.generate_sample(
+            p, 20, lt.SamplingConfig(temperature=t, top_k=16), seed=i + 3)
+        for i, (p, t) in enumerate(zip(prompts, temps))]
+    batch = eng.generate_batch(prompts, 20, sampling=scfg,
+                               seeds=[3, 4, 5], temperatures=temps)
+    for s, b in zip(singles, batch):
+        np.testing.assert_array_equal(s.tokens, b.tokens)
+    # greedy mode must reject per-lane warper arrays
+    with pytest.raises(ValueError, match="sampling"):
+        eng.generate_batch(prompts, 8, temperatures=temps)
+
+
+def test_generate_batch_sampling_with_shared_prefix():
+    eng = tiny_engine(pool_from_prompt=True)
+    rng = np.random.RandomState(19)
+    system = list(rng.randint(0, 128, size=24))
+    prompts = [system + list(rng.randint(0, 128, size=6)) for _ in range(2)]
+    scfg = lt.SamplingConfig(temperature=0.8)
+    singles = [eng.generate_sample(p, 16, scfg, seed=i)
+               for i, p in enumerate(prompts)]
+    pc = eng.precompute_prefix(system)
+    batch = eng.generate_batch(prompts, 16, sampling=scfg,
+                               seeds=[0, 1], prefix=pc)
+    for s, b in zip(singles, batch):
+        np.testing.assert_array_equal(s.tokens, b.tokens)
+
+
+@pytest.mark.parametrize("mode", ["greedy", "baseline", "sample"])
+def test_stream_steps_per_yield_output_identical(mode):
+    """steps_per_yield fuses K steps per dispatch; the streamed token
+    sequence must be identical for any K (finished steps no-op)."""
+    eng = tiny_engine(pool_from_prompt=(mode != "baseline"))
+    prompt = list(np.random.RandomState(23).randint(0, 128, size=12))
+    kw = dict(lookahead=mode != "baseline")
+    if mode == "sample":
+        kw["sampling"] = lt.SamplingConfig(temperature=0.8, top_k=8)
+    ref = np.concatenate(
+        list(eng.generate_stream(prompt, 40, seed=2, **kw)))
+    for k in (2, 5):
+        got = list(eng.generate_stream(prompt, 40, seed=2,
+                                       steps_per_yield=k, **kw))
+        np.testing.assert_array_equal(np.concatenate(got), ref)
+        assert len(got) >= 1
+    with pytest.raises(ValueError, match="steps_per_yield"):
+        next(eng.generate_stream(prompt, 8, steps_per_yield=0))

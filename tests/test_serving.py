@@ -257,9 +257,30 @@ def test_objective_validation():
     eng = tiny_engine()
     with pytest.raises(ValueError, match="objective"):
         ContinuousBatchingEngine(eng, objective="latency")
-    with pytest.raises(ValueError, match="greedy"):
-        ContinuousBatchingEngine(eng, objective="throughput", batch_group=2,
-                                 sampling=lt.SamplingConfig(temperature=1.0))
+
+
+def test_throughput_batch_group_sampling_matches_individual():
+    """batch_group + sampling (round 5): the fused group drain runs the
+    vmapped SAMPLING loop with per-request seeds AND per-request
+    temperature/top_p overrides, matching sequential generate_sample."""
+    eng = tiny_engine()
+    scfg = lt.SamplingConfig(temperature=0.8, top_k=16)
+    rng = np.random.RandomState(21)
+    prompts = [list(rng.randint(0, 128, size=10)) for _ in range(4)]
+    temps = [0.8, 1.1, 0.8, 0.6]
+    singles = [
+        eng.generate_sample(
+            p, 12, lt.SamplingConfig(temperature=t, top_k=16), seed=i)
+        for i, (p, t) in enumerate(zip(prompts, temps))]
+    server = ContinuousBatchingEngine(eng, objective="throughput",
+                                      batch_group=4, sampling=scfg)
+    results = server.run([
+        Request(prompt=p, max_new_tokens=12, seed=i, request_id=i,
+                temperature=None if t == 0.8 else t)
+        for i, (p, t) in enumerate(zip(prompts, temps))])
+    by_id = {r.request_id: r for r in results}
+    for i, s in enumerate(singles):
+        np.testing.assert_array_equal(by_id[i].tokens, s.tokens)
 
 
 def test_batch_group_rejects_sampling_overrides_in_greedy_mode():
