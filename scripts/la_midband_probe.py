@@ -102,7 +102,10 @@ def build(mcfg, params, lcfg_kw, la, tp=1):
     mesh = None
     p = params
     if la > 1 or tp > 1:
-        mesh = make_mesh(dp=8 // (la * tp), la=la, tp=tp)
+        # dp deliberately 1: extra replicas would multiply total CPU work
+        # on the shared-core virtual devices and corrupt the ranking — the
+        # la=N mesh uses exactly N devices (the round-4 method)
+        mesh = make_mesh(dp=1, la=la, tp=tp)
         p = shard_params(params, mesh, mcfg)
     return lt.LookaheadEngine(mcfg, p, lcfg, ecfg, mesh=mesh)
 
