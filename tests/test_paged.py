@@ -376,3 +376,40 @@ def test_paged_interactive_class_jumps_queue():
     by_id = {r.request_id: r for r in results}
     assert len(results) == 6
     np.testing.assert_array_equal(by_id["chat"].tokens, chat_single.tokens)
+
+
+def test_paged_prefix_release_while_lanes_active():
+    """Releasing a PagedPrefix while requests that use it are mid-flight
+    must not free shared pages under them (lane refcounts hold); pages
+    return to the pool only when the lanes finish."""
+    flat, paged = engines(num_lanes=2, page_size=64)
+    system = list(np.random.RandomState(7).randint(0, 128, size=70))
+    px = paged.precompute_prefix(system)
+    ps = [system + list(np.random.RandomState(s).randint(0, 128, size=8))
+          for s in (1, 2)]
+    singles = [flat.generate(p, 20, seed=i) for i, p in enumerate(ps)]
+    for i, p in enumerate(ps):
+        paged.submit(Request(prompt=p, max_new_tokens=20, seed=i,
+                             request_id=i, prefix=px))
+    paged.step()                       # both admitted, sharing px pages
+    paged.release_prefix(px)           # user drops the prefix mid-flight
+    while paged.step():
+        pass
+    results, paged._results = paged._results, []
+    by_id = {r.request_id: r for r in results}
+    for i, s in enumerate(singles):
+        np.testing.assert_array_equal(by_id[i].tokens, s.tokens)
+    assert paged.alloc.used_pages == 0
+
+
+def test_paged_sampling_with_prefix_matches_flat():
+    scfg = lt.SamplingConfig(temperature=0.8, top_k=16)
+    flat, paged = engines(sampling=scfg, num_lanes=2, page_size=64)
+    system = list(np.random.RandomState(5).randint(0, 128, size=40))
+    px = paged.precompute_prefix(system)
+    p = system + list(np.random.RandomState(6).randint(0, 128, size=8))
+    rf = flat.generate_sample(p, 20, scfg, seed=3)
+    rp = paged.generate(p, 20, seed=3, prefix=px)
+    np.testing.assert_array_equal(rf.tokens, rp.tokens)
+    paged.release_prefix(px)
+    assert paged.alloc.used_pages == 0
