@@ -225,8 +225,8 @@ class PagedServingEngine:
         G, GS = self.layout.guess_set_size, self.layout.guess_size
         rows = self._pool_rows
 
-        def call(params, k_pool, v_pool, table, cap, trash, out_buf,
-                 prompt_len, rng, fill, ppool, plen):
+        def call(params, k_pool, v_pool, batched, lane_idx, table, cap,
+                 trash, out_buf, prompt_len, rng, fill, ppool, plen):
             pool = ppool if has_ppool else pool_init(rows, G, GS)
             lane = self._fns.init_lane(
                 table, cap, trash, pool, out_buf, prompt_len, rng)
@@ -235,9 +235,16 @@ class PagedServingEngine:
                     pool=apply_host_fill(lane.pool, *fill, merge=True))
             pools, lane = self._fns.prefill_from(
                 params, (k_pool, v_pool), lane, plen)
-            return pools[0], pools[1], lane
+            # admission is ONE dispatch: prefill + insertion into the
+            # batched lane states (each extra dispatch is a tunnel round
+            # trip that lands straight in TTFT)
+            batched = jax.tree.map(
+                lambda b, s: jax.lax.dynamic_update_index_in_dim(
+                    b, s, lane_idx, axis=0),
+                batched, lane)
+            return pools[0], pools[1], batched
 
-        fn = jax.jit(call, donate_argnums=(1, 2))
+        fn = jax.jit(call, donate_argnums=(1, 2, 3))
         self._prepares[key] = fn
         return fn
 
@@ -371,13 +378,12 @@ class PagedServingEngine:
             ppool = prefix.pool if (prefix is not None
                                     and prefix.pool is not None) else None
             prep = self._get_prepare(fill is not None, ppool is not None)
-            self._k_pool, self._v_pool, lane_state = prep(
-                self.params, self._k_pool, self._v_pool,
-                jnp.asarray(table), jnp.int32(cap),
+            self._k_pool, self._v_pool, self._batched = prep(
+                self.params, self._k_pool, self._v_pool, self._batched,
+                jnp.int32(lane), jnp.asarray(table), jnp.int32(cap),
                 jnp.int32(lane * BS), jnp.asarray(out_buf),
                 jnp.int32(len(prompt)), jax.random.PRNGKey(req.seed),
                 fill, ppool, jnp.int32(plen))
-            self._batched = self._insert(self._batched, lane_state, lane)
             self._max_new[lane] = req.max_new_tokens
             self._eos[lane] = eos
             self._temp[lane] = temp
@@ -529,15 +535,29 @@ class PagedServingEngine:
         table[:n_px] = pages
         out_buf = np.zeros((M + self.layout.guess_size,), np.int32)
         out_buf[:P0] = prefix
-        prep = self._get_prepare(False, False)
+        if "precompute" not in self._prepares:
+            G, GS = self.layout.guess_set_size, self.layout.guess_size
+            rows = self._pool_rows
+
+            def call(params, k_pool, v_pool, table, cap, trash, out_buf,
+                     prompt_len, rng):
+                pool = pool_init(rows, G, GS)
+                lane = self._fns.init_lane(
+                    table, cap, trash, pool, out_buf, prompt_len, rng)
+                pools, _ = self._fns.prefill_from(
+                    params, (k_pool, v_pool), lane, jnp.int32(0))
+                return pools
+
+            self._prepares["precompute"] = jax.jit(
+                call, donate_argnums=(1, 2))
         # prompt_len = P0+1 makes the prefill cover [0, P0) — every prefix
         # row lands in its page (flat-engine precompute trick); padded
         # rows go to lane 0's trash page (garbage-by-design)
-        self._k_pool, self._v_pool, _ = prep(
+        self._k_pool, self._v_pool = self._prepares["precompute"](
             self.params, self._k_pool, self._v_pool,
             jnp.asarray(table), jnp.int32(min(n_px * BS, M)),
             jnp.int32(0), jnp.asarray(out_buf), jnp.int32(P0 + 1),
-            jax.random.PRNGKey(0), None, None, jnp.int32(0))
+            jax.random.PRNGKey(0))
         return PagedPrefix(tokens=prefix, pages=tuple(int(p) for p in pages),
                            length=P0)
 
