@@ -413,3 +413,49 @@ def test_paged_sampling_with_prefix_matches_flat():
     np.testing.assert_array_equal(rf.tokens, rp.tokens)
     paged.release_prefix(px)
     assert paged.alloc.used_pages == 0
+
+
+# --------------------------------------------------------------------------
+# differential fuzz vs the flat engine
+# --------------------------------------------------------------------------
+
+@pytest.mark.parametrize("trial", range(6))
+def test_paged_config_fuzz_matches_flat(trial):
+    """Random (layout, page size, lanes, kv_quant, prompts, eos) — the
+    paged scheduler must reproduce the flat engine token-for-token,
+    including staggered EOS/capacity finishes, and return every page."""
+    rng = np.random.RandomState(100 + trial)
+    level = int(rng.choice([3, 4, 5]))
+    window = int(rng.randint(2, 6))
+    guess = int(rng.randint(0, 5))
+    page = int(rng.choice([32, 64, 128]))
+    lanes = int(rng.choice([1, 2, 3]))
+    kv_quant = rng.choice([None, "int8"])
+    mcfg, params = model()
+    lc = lt.LookaheadConfig(level=level, window_size=window,
+                            guess_set_size=guess,
+                            pool_from_prompt=bool(rng.randint(2)),
+                            attention_impl="xla")
+    ec = lt.EngineConfig(max_seq_len=256, prefill_chunk=16, dtype="float32",
+                         kv_quant=None if kv_quant is None else str(kv_quant))
+    flat = lt.LookaheadEngine(mcfg, params, lc, ec)
+    paged = lt.PagedServingEngine(mcfg, params, lc, ec, num_lanes=lanes,
+                                  page_size=page, steps_per_sync=1)
+    n_req = int(rng.randint(1, 5))
+    reqs, singles = [], []
+    for i in range(n_req):
+        p = list(rng.randint(0, 128, size=int(rng.randint(3, 40))))
+        n_new = int(rng.randint(1, 40))
+        eos = int(rng.randint(0, 128)) if rng.randint(2) else None
+        singles.append(flat.generate(p, n_new, eos_token_id=eos, seed=i))
+        reqs.append(Request(prompt=p, max_new_tokens=n_new,
+                            eos_token_id=eos, seed=i, request_id=i))
+    results = paged.run(reqs)
+    by_id = {r.request_id: r for r in results}
+    for i, s in enumerate(singles):
+        np.testing.assert_array_equal(
+            by_id[i].tokens, s.tokens,
+            err_msg=f"trial={trial} L{level}W{window}G{guess} page={page} "
+                    f"lanes={lanes} kv={kv_quant} req={i}")
+        assert by_id[i].steps == s.steps
+    assert paged.alloc.used_pages == 0
