@@ -459,3 +459,38 @@ def test_paged_config_fuzz_matches_flat(trial):
                     f"lanes={lanes} kv={kv_quant} req={i}")
         assert by_id[i].steps == s.steps
     assert paged.alloc.used_pages == 0
+
+
+@pytest.mark.parametrize("trial", range(3))
+def test_paged_sampling_fuzz_matches_flat(trial):
+    """Sampling-mode differential fuzz: random warper configs and per-lane
+    seeds through the paged scheduler vs sequential generate_sample."""
+    rng = np.random.RandomState(200 + trial)
+    scfg = lt.SamplingConfig(
+        temperature=float(rng.uniform(0.5, 1.3)),
+        top_k=int(rng.choice([0, 8, 32])),
+        top_p=float(rng.choice([1.0, 0.9])))
+    page = int(rng.choice([32, 64]))
+    mcfg, params = model()
+    lc = lt.LookaheadConfig(level=4, window_size=4,
+                            guess_set_size=int(rng.randint(0, 5)),
+                            pool_from_prompt=True, attention_impl="xla")
+    ec = lt.EngineConfig(max_seq_len=256, prefill_chunk=16, dtype="float32")
+    flat = lt.LookaheadEngine(mcfg, params, lc, ec)
+    paged = lt.PagedServingEngine(mcfg, params, lc, ec, num_lanes=2,
+                                  page_size=page, sampling=scfg,
+                                  steps_per_sync=1)
+    reqs, singles = [], []
+    for i in range(3):
+        p = list(rng.randint(0, 128, size=int(rng.randint(4, 30))))
+        n_new = int(rng.randint(4, 30))
+        singles.append(flat.generate_sample(p, n_new, scfg, seed=10 + i))
+        reqs.append(Request(prompt=p, max_new_tokens=n_new, seed=10 + i,
+                            request_id=i))
+    results = paged.run(reqs)
+    by_id = {r.request_id: r for r in results}
+    for i, s in enumerate(singles):
+        np.testing.assert_array_equal(
+            by_id[i].tokens, s.tokens,
+            err_msg=f"trial={trial} {scfg} page={page} req={i}")
+    assert paged.alloc.used_pages == 0
